@@ -1,0 +1,349 @@
+"""Distributed inverted-index build (SURVEY.md §2.3, §7 step 3).
+
+What the reference delegates to SQLite FTS5 triggers at INSERT time
+(reference ``storage/sqlite_storage.py:204-225``) is rebuilt here as an
+idiomatic Spark dataflow:
+
+    corpus (repo, path, commit, lang, content)
+      → deterministic doc_id assignment (range-partitioned sort + offsets,
+        no single-partition window, no monotonically_increasing_id)
+      → one vectorized tokenize of the FTS document (path ⊕ filename ⊕
+        content — all three FTS5 columns at weight 1.0, SURVEY.md §2.4)
+      → explode → partial+final hash-agg to postings (term, doc_id, tf, dl)
+        [dl denormalized into postings so query-time scoring never joins
+         the N-row doc-length table — scale-critical]
+      → term stats (df) as a DataFrame aggregate
+      → term-hash-bucketed, sorted parquet + JSON manifest
+      → per-stage checkpoints with per-bucket lineage/metrics (resumable)
+
+Skew note: the postings aggregation keys on (term, doc_id) — cardinality is
+per-(term,doc) so hot terms do NOT skew the agg.  The bucketed write uses
+``repartition(bucket, term)`` + ``sortWithinPartitions``; hot buckets are
+bounded by num_buckets choice, and AQE handles residual imbalance.  For the
+block-format path, postings of terms with df > salt_threshold are split
+into doc_id-sharded salted runs (blocks.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from bm25_index_tool_spark.tokenize import token_count_unicode61, tokenizer_for
+
+INDEX_FORMAT_VERSION = 1
+DEFAULT_NUM_BUCKETS = 32
+
+DOCS_DIR = "docs"
+DOCLENS_DIR = "doclens"
+POSTINGS_DIR = "postings"
+TERMSTATS_DIR = "termstats"
+BLOCKS_DIR = "blocks"
+CHECKPOINT_DIR = "_checkpoints"
+MANIFEST = "manifest.json"
+
+
+@dataclass
+class BM25Params:
+    """Carried in the manifest.  The reference *stores* configurable k1/b but
+    FTS5 always scores with k1=1.2, b=0.75 (reference ``core/indexer.py:42``,
+    SURVEY.md §0) — unlike the reference, our scorer genuinely applies these.
+    Defaults match FTS5 so default-profile ranking is reference-identical.
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass
+class IndexManifest:
+    name: str
+    num_docs: int
+    avgdl: float
+    num_buckets: int
+    tokenizer_profile: str = "unicode61"
+    params: BM25Params = field(default_factory=BM25Params)
+    index_version: int = INDEX_FORMAT_VERSION
+    created_at: str = ""
+    source: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        d = dict(self.__dict__)
+        d["params"] = self.params.__dict__
+        return json.dumps(d, indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "IndexManifest":
+        d = json.loads(s)
+        d["params"] = BM25Params(**d["params"])
+        return cls(**d)
+
+
+def load_manifest(index_dir: str) -> IndexManifest:
+    with open(os.path.join(index_dir, MANIFEST)) as f:
+        return IndexManifest.from_json(f.read())
+
+
+# ---------------------------------------------------------------------------
+# Deterministic doc_id assignment — scalable (no global single-partition sort)
+# ---------------------------------------------------------------------------
+
+# Natural-sort key columns mirroring reference core/file_discovery.py:97-112:
+# (first integer embedded in the filename, then the name); we order globally
+# by (repo, dirname, natural_int, filename, path) — the oracle fixture
+# inserts rows in the identical order so SQLite rowid == doc_id.
+_BIG = 2**62
+
+
+def _order_cols():
+    return [
+        F.col("repo"),
+        F.col("_dirname"),
+        F.col("_natint"),
+        F.col("filename"),
+        F.col("path"),
+    ]
+
+
+def with_derived_columns(corpus: DataFrame) -> DataFrame:
+    """Add full_path / filename / natural-sort helper columns."""
+    return (
+        corpus.withColumn("full_path", F.concat_ws("/", "repo", "path"))
+        .withColumn("filename", F.element_at(F.split(F.col("path"), "/"), -1))
+        .withColumn(
+            "_dirname", F.regexp_replace(F.col("path"), r"[^/]+$", "")
+        )
+        .withColumn(
+            "_natint",
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(F.col("filename"), r"(\d+)", 1), F.lit("")
+                ).cast("long"),
+                F.lit(_BIG),
+            ),
+        )
+    )
+
+
+def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Deterministic contiguous ``doc_id`` (1-based, FTS5-rowid-like) without
+    a driver bottleneck: range-partition on the order key, sort within
+    partitions, then add per-partition offsets (two-pass: a tiny count per
+    partition is collected, not the data).  Equivalent global order to a
+    full sort; scales to arbitrarily many partitions.
+    """
+    df = with_derived_columns(corpus)
+    cols = _order_cols()
+    if num_partitions:
+        df = df.repartitionByRange(num_partitions, *cols)
+    else:
+        df = df.repartitionByRange(*cols)
+    df = df.sortWithinPartitions(*cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        df.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", F.row_number().over(w) + F.col("_offset"))
+        .drop("_pid", "_offset", "_dirname", "_natint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed build stages (resumable; FIXTURES.md §7)
+# ---------------------------------------------------------------------------
+
+
+class BuildCheckpoints:
+    """Per-stage lineage + metrics checkpoints.  A stage whose checkpoint
+    records status=complete is skipped on re-run (resume).  Generalizes the
+    reference's per-batch ``indexing_progress`` JSON resume
+    (reference ``vector/indexer.py:221-263``, ``sqlite_storage.py:791-818``)
+    to distributed partitioned writes.
+    """
+
+    def __init__(self, index_dir: str):
+        self.dir = os.path.join(index_dir, CHECKPOINT_DIR)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.dir, f"stage_{stage}.json")
+
+    def is_complete(self, stage: str) -> bool:
+        p = self._path(stage)
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            return json.load(f).get("status") == "complete"
+
+    def mark_complete(self, stage: str, metrics: dict) -> None:
+        tmp = self._path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"status": "complete", "stage": stage, **metrics}, f, indent=2)
+        os.replace(tmp, self._path(stage))
+
+    def read(self, stage: str) -> dict:
+        with open(self._path(stage)) as f:
+            return json.load(f)
+
+
+def _fts_document() -> F.Column:
+    """The FTS5 'document' = all three indexed columns at weight 1.0
+    (path, filename, content — verified in SURVEY.md §2.4: tf counts hits in
+    all three and dl sums all three).  A single space-joined concat
+    tokenizes identically to tokenizing the columns separately, so one
+    vectorized pass suffices.
+    """
+    return F.concat_ws(" ", F.col("full_path"), F.col("filename"), F.col("content"))
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    name: str = "default",
+    *,
+    tokenizer_profile: str = "unicode61",
+    params: BM25Params | None = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_partitions: int | None = None,
+    resume: bool = False,
+    fail_after_stage: str | None = None,
+    source: dict | None = None,
+) -> IndexManifest:
+    """Build (or resume building) a BM25 index at ``index_dir``.
+
+    ``fail_after_stage`` injects a failure for the resume test fixture.
+    """
+    params = params or BM25Params()
+    if not resume and os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    ckpt = BuildCheckpoints(index_dir)
+    tok = tokenizer_for(tokenizer_profile)
+
+    docs_path = os.path.join(index_dir, DOCS_DIR)
+    doclens_path = os.path.join(index_dir, DOCLENS_DIR)
+    postings_path = os.path.join(index_dir, POSTINGS_DIR)
+    termstats_path = os.path.join(index_dir, TERMSTATS_DIR)
+
+    def _stage(stage: str, fn) -> dict:
+        if ckpt.is_complete(stage):
+            return ckpt.read(stage)
+        t0 = time.monotonic()
+        metrics = fn()
+        metrics["duration_sec"] = round(time.monotonic() - t0, 4)
+        ckpt.mark_complete(stage, metrics)
+        if fail_after_stage == stage:
+            raise RuntimeError(f"injected failure after stage {stage}")
+        return ckpt.read(stage)
+
+    # -- stage 1: docs table with deterministic doc_id + invariants ---------
+    def _docs() -> dict:
+        ids = assign_doc_ids(corpus, num_partitions)
+        out = (
+            ids.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+            .withColumn("content_md5", F.md5(F.col("content")))
+            .withColumn("size", F.length("content").cast("long"))
+            .withColumn("indexed_at", F.current_timestamp())
+        )
+        out.write.mode("overwrite").parquet(docs_path)
+        n = spark.read.parquet(docs_path).count()
+        return {"rows": n}
+
+    m_docs = _stage("docs", _docs)
+    num_docs = m_docs["rows"]
+    docs = spark.read.parquet(docs_path)
+
+    # -- stage 2: doc lengths (3-column dl, SURVEY.md §2.4) ------------------
+    def _doclens() -> dict:
+        dl = docs.select(
+            "doc_id",
+            token_count_unicode61(_fts_document()).cast("int").alias("dl"),
+        )
+        dl.write.mode("overwrite").parquet(doclens_path)
+        agg = spark.read.parquet(doclens_path).agg(
+            F.avg("dl").alias("avgdl"), F.count("*").alias("n")
+        ).collect()[0]
+        return {"rows": agg["n"], "avgdl": float(agg["avgdl"] or 0.0)}
+
+    m_dl = _stage("doclens", _doclens)
+    avgdl = m_dl["avgdl"]
+
+    # -- stage 3: postings (term, doc_id, tf, dl, bucket) --------------------
+    def _postings() -> dict:
+        doclens = spark.read.parquet(doclens_path)
+        post = (
+            docs.select("doc_id", F.explode(tok(_fts_document())).alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").cast("int").alias("tf"))
+            .join(doclens, "doc_id")  # denormalize dl into postings
+            .withColumn("bucket", F.pmod(F.hash("term"), F.lit(num_buckets)))
+        )
+        (
+            post.repartition(num_buckets, "bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(postings_path)
+        )
+        per_bucket = {
+            str(r["bucket"]): r["cnt"]
+            for r in spark.read.parquet(postings_path)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        return {"rows": sum(per_bucket.values()), "per_bucket_rows": per_bucket}
+
+    _stage("postings", _postings)
+
+    # -- stage 4: term stats (df per term) -----------------------------------
+    def _termstats() -> dict:
+        post = spark.read.parquet(postings_path)
+        stats = post.groupBy("bucket", "term").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        (
+            stats.repartition(num_buckets, "bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(termstats_path)
+        )
+        n_terms = spark.read.parquet(termstats_path).count()
+        return {"rows": n_terms}
+
+    _stage("termstats", _termstats)
+
+    manifest = IndexManifest(
+        name=name,
+        num_docs=int(num_docs),
+        avgdl=float(avgdl),
+        num_buckets=num_buckets,
+        tokenizer_profile=tokenizer_profile,
+        params=params,
+        created_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
+        source=source or {},
+    )
+    with open(os.path.join(index_dir, MANIFEST), "w") as f:
+        f.write(manifest.to_json())
+    return manifest

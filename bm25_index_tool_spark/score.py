@@ -1,0 +1,233 @@
+"""Top-k BM25 scoring — DataFrame-join plan (SURVEY.md §2.4 plan 1).
+
+Replaces the reference's single SQL statement
+(reference ``storage/sqlite_storage.py:663-671``)::
+
+    SELECT d.id, d.path, d.filename, d.content, -bm25(documents_fts) AS score
+    FROM documents_fts f JOIN documents d ON f.rowid = d.id
+    WHERE documents_fts MATCH ?      -- implicit AND of query tokens
+    ORDER BY bm25(documents_fts) LIMIT ?
+
+with a declarative Spark plan whose physical shape Catalyst compiles to:
+
+    bucket-pruned parquet scan of postings (only the term-hash buckets the
+    query touches — explicit IN predicate, see murmur.py)
+      → broadcast semi-join with the tiny query-terms DataFrame
+      → per-(term,doc) partial BM25 (pure Column expressions, whole-stage
+        codegen; dl is denormalized in postings so no N-row join)
+      → hash-agg by doc_id: sum(partial), count(distinct term)
+      → conjunctive filter  count == |distinct query terms|
+      → TakeOrderedAndProject(score DESC, doc_id ASC, limit k)
+      → broadcast join of the ≤k winners back to the docs table
+
+Exact FTS5 ``bm25()`` semantics (verified empirically, SURVEY.md §2.4):
+k1=1.2 b=0.75; idf = ln((N−df+0.5)/(df+0.5)) clamped to 1e-6 when ≤ 0;
+tf and dl span all three FTS columns; ties break on doc_id ascending.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from bm25_index_tool_spark import build as B
+from bm25_index_tool_spark.murmur import term_bucket
+from bm25_index_tool_spark.tokenize import tokenize_fts5_query
+
+IDF_EPSILON = 1e-6  # FTS5 clamps non-positive idf to 1e-6 (SURVEY.md §2.4)
+
+
+@dataclass
+class LoadedIndex:
+    """Handle to an on-disk index: manifest + lazily-read DataFrames."""
+
+    index_dir: str
+    manifest: B.IndexManifest
+    spark: SparkSession
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "LoadedIndex":
+        return cls(index_dir=index_dir, manifest=B.load_manifest(index_dir), spark=spark)
+
+    def docs(self) -> DataFrame:
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.index_dir, B.DOCS_DIR))
+
+    def postings(self) -> DataFrame:
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.index_dir, B.POSTINGS_DIR))
+
+    def termstats(self) -> DataFrame:
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.index_dir, B.TERMSTATS_DIR))
+
+    def doclens(self) -> DataFrame:
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.index_dir, B.DOCLENS_DIR))
+
+
+def idf_column(df_col: F.Column, n_docs: int) -> F.Column:
+    """FTS5 idf with the 1e-6 clamp for non-positive values."""
+    raw = F.log((F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+    return F.when(raw <= 0.0, F.lit(IDF_EPSILON)).otherwise(raw)
+
+
+def bm25_partial(tf: F.Column, dl: F.Column, idf: F.Column, k1: float, b: float, avgdl: float) -> F.Column:
+    """Per-(term, doc) BM25 contribution — a pure Column expression that
+    stays inside whole-stage codegen."""
+    denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    return idf * tf * F.lit(k1 + 1.0) / denom
+
+
+def score_query(
+    index: LoadedIndex,
+    query: str,
+    top_k: int = 10,
+    *,
+    include_content: bool = True,
+) -> DataFrame:
+    """Top-k BM25 over one query string; result columns
+    (doc_id, path, filename, score[, content, content_sha256]).
+
+    Raises ValueError for a query with no searchable tokens (reference
+    ``core/searcher.py:63-68`` behavior).
+    """
+    tokens = tokenize_fts5_query(query)
+    return score_tokens(index, tokens, top_k, include_content=include_content)
+
+
+def score_tokens(
+    index: LoadedIndex,
+    tokens: list[str],
+    top_k: int = 10,
+    *,
+    include_content: bool = True,
+) -> DataFrame:
+    spark = index.spark
+    m = index.manifest
+    k1, b = m.params.k1, m.params.b
+
+    from collections import Counter
+
+    tok_counts = Counter(tokens)
+    n_distinct = len(tok_counts)
+    buckets = sorted({term_bucket(t, m.num_buckets) for t in tok_counts})
+
+    # Tiny query-terms DF; q_mult carries duplicate-token multiplicity
+    # (FTS5 'apple apple' sums the term's partial score twice).
+    terms_df = spark.createDataFrame(
+        [(t, int(c)) for t, c in tok_counts.items()], "term string, q_mult int"
+    )
+
+    # Explicit bucket-pruning predicate (Catalyst can't infer it, SURVEY §4.3)
+    post = index.postings().where(F.col("bucket").isin(buckets))
+    stats = index.termstats().where(F.col("bucket").isin(buckets))
+
+    per_term = (
+        post.join(F.broadcast(terms_df), "term")
+        .join(F.broadcast(stats.select("term", "df")), "term")
+        .withColumn("idf", idf_column(F.col("df"), m.num_docs))
+        .withColumn(
+            "partial",
+            bm25_partial(F.col("tf"), F.col("dl"), F.col("idf"), k1, b, m.avgdl)
+            * F.col("q_mult"),
+        )
+    )
+
+    scored = (
+        per_term.groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"), F.count("*").alias("_nt"))
+        .where(F.col("_nt") == F.lit(n_distinct))  # conjunctive AND
+        .drop("_nt")
+    )
+
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+
+    doc_cols = ["doc_id", "full_path", "filename", "content_sha256"]
+    if include_content:
+        doc_cols.append("content")
+    result = (
+        index.docs()
+        .select(*doc_cols)
+        .join(F.broadcast(topk), "doc_id")
+        .withColumnRenamed("full_path", "path")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return result
+
+
+def score_query_batch(
+    index: LoadedIndex,
+    queries: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Set-at-a-time batch scoring (SURVEY.md §2.9 C3): ALL queries join the
+    index in ONE pass — the idiomatic-Spark replacement for the reference's
+    ``ThreadPoolExecutor`` per-query fan-out
+    (reference ``commands/batch_query.py:311-332``).
+
+    Result: (query_id, doc_id, path, score, rank) — deterministic order by
+    (query_id, rank), unlike the reference's parallel completion-order JSONL.
+    Queries that tokenize to nothing yield no rows (reference maps failures
+    to empty results, ``batch_query.py:90-92``).
+    """
+    spark = index.spark
+    m = index.manifest
+    k1, b = m.params.k1, m.params.b
+
+    from collections import Counter
+
+    rows = []
+    buckets: set[int] = set()
+    for qid, q in enumerate(queries):
+        try:
+            toks = tokenize_fts5_query(q)
+        except ValueError:
+            continue
+        c = Counter(toks)
+        for t, mult in c.items():
+            rows.append((qid, q, t, int(mult), len(c)))
+            buckets.add(term_bucket(t, m.num_buckets))
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id int, query string, doc_id long, path string, score double, rank int"
+        )
+    qterms = spark.createDataFrame(
+        rows, "query_id int, query string, term string, q_mult int, n_terms int"
+    )
+
+    post = index.postings().where(F.col("bucket").isin(sorted(buckets)))
+    stats = index.termstats().where(F.col("bucket").isin(sorted(buckets)))
+
+    per_term = (
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(stats.select("term", "df")), "term")
+        .withColumn("idf", idf_column(F.col("df"), m.num_docs))
+        .withColumn(
+            "partial",
+            bm25_partial(F.col("tf"), F.col("dl"), F.col("idf"), k1, b, m.avgdl)
+            * F.col("q_mult"),
+        )
+    )
+    scored = (
+        per_term.groupBy("query_id", "query", "n_terms", "doc_id")
+        .agg(F.sum("partial").alias("score"), F.count("*").alias("_nt"))
+        .where(F.col("_nt") == F.col("n_terms"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "query", "doc_id", "score", "rank")
+    )
+    docs = index.docs().select("doc_id", F.col("full_path").alias("path"))
+    return topk.join(docs, "doc_id").select(
+        "query_id", "query", "doc_id", "path", "score", "rank"
+    ).orderBy("query_id", "rank")

@@ -1,0 +1,77 @@
+"""THE correctness gate (BASELINE.md): top-k rank identity vs SQLite FTS5.
+
+For every query in the reference query set, our Spark engine must return the
+identical ordered doc_id list AND identical BM25 scores (rel tol 1e-9) as
+the FTS5 differential oracle running the reference's verbatim search path on
+the same corpus in the same insertion order — plus per-row sha256(content)
+equality vs the source (BASELINE.json per-row invariant)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from bm25_index_tool_spark.score import score_query, score_query_batch
+from tests.conftest import QUERY_SET
+
+SEARCHABLE = [q for q in QUERY_SET]
+
+
+@pytest.mark.parametrize("query", SEARCHABLE)
+def test_rank_identity(small_index, oracle, query):
+    expected = oracle.search_bm25(query, top_k=10)
+    got = score_query(small_index, query, top_k=10).collect()
+
+    exp_ids = [r[0] for r in expected]
+    got_ids = [r["doc_id"] for r in got]
+    assert got_ids == exp_ids, f"doc_id mismatch for {query!r}"
+
+    for erow, grow in zip(expected, got):
+        assert math.isclose(erow[4], grow["score"], rel_tol=1e-9), (
+            f"score mismatch for {query!r} doc {erow[0]}: "
+            f"oracle={erow[4]!r} spark={grow['score']!r}"
+        )
+        assert grow["path"] == erow[1]
+        assert grow["filename"] == erow[2]
+        # per-row invariant: sha256(content) equality vs source
+        assert (
+            grow["content_sha256"]
+            == hashlib.sha256(erow[3].encode()).hexdigest()
+        )
+
+
+def test_rank_identity_large_topk(small_index, oracle):
+    """top_k beyond the match count — full ranking identity."""
+    q = "data value"
+    expected = oracle.search_bm25(q, top_k=500)
+    got = score_query(small_index, q, top_k=500).collect()
+    assert [r["doc_id"] for r in got] == [r[0] for r in expected]
+    for e, g in zip(expected, got):
+        assert math.isclose(e[4], g["score"], rel_tol=1e-9)
+
+
+def test_empty_query_raises(small_index):
+    with pytest.raises(ValueError):
+        score_query(small_index, "---", top_k=10)
+
+
+def test_batch_matches_single(small_index, oracle):
+    """Set-at-a-time batch plan must agree with both the single-query plan
+    and the oracle, with deterministic (query_id, rank) output order."""
+    queries = ["apple", "kubernetes networking", "zzz_not_present", "---", "the"]
+    batch = score_query_batch(small_index, queries, top_k=10).collect()
+    by_qid: dict[int, list] = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for qid, q in enumerate(queries):
+        rows = by_qid.get(qid, [])
+        try:
+            expected = oracle.search_bm25(q, top_k=10)
+        except ValueError:
+            expected = []
+        assert [r["doc_id"] for r in rows] == [e[0] for e in expected], q
+        for e, g in zip(expected, rows):
+            assert math.isclose(e[4], g["score"], rel_tol=1e-9)
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))

@@ -1,0 +1,92 @@
+"""Tokenizer goldens — query-side cases ported from the reference's own
+test suite (``/root/reference/tests/test_fts5_escape.py``) plus index-side
+unicode61 cases verified against SQLite FTS5 (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pandas as pd
+import pytest
+
+from bm25_index_tool_spark.tokenize import (
+    STOPWORDS,
+    _tokenize_series,
+    related_terms_local,
+    tokenize_fts5_query,
+)
+
+# (input, expected space-joined) — semantics of reference tests/test_fts5_escape.py
+QUERY_GOLDENS = [
+    ("hello", ["hello"]),
+    ("hello world", ["hello", "world"]),
+    ("vip-layerprd701.dc-ratingen.de", ["vip", "layerprd701", "dc", "ratingen", "de"]),
+    ("foo.bar", ["foo", "bar"]),
+    ("a:b:c", ["a", "b", "c"]),
+    ("snake_case_name", ["snake", "case", "name"]),
+    ("UPPER Case", ["upper", "case"]),
+    ("weird!!punct??", ["weird", "punct"]),
+    ("x123 456y", ["x123", "456y"]),
+    ("  spaced   out  ", ["spaced", "out"]),
+    ("café", ["caf"]),  # ASCII regex drops the é — divergence from index side
+    ("tag/sub-tag", ["tag", "sub", "tag"]),
+]
+
+
+@pytest.mark.parametrize("q,expected", QUERY_GOLDENS)
+def test_query_tokenizer_goldens(q, expected):
+    assert tokenize_fts5_query(q) == expected
+
+
+@pytest.mark.parametrize("q", ["", "---", "!!!", "_", " . "])
+def test_query_tokenizer_empty_raises(q):
+    with pytest.raises(ValueError):
+        tokenize_fts5_query(q)
+
+
+INDEX_CASES = [
+    "hello world",
+    "Hello WORLD",
+    "café au lait",
+    "snake_case_name",
+    "getHttpResponse2",
+    "vip-layerprd701.dc-ratingen.de",
+    "a1b2c3",
+    "",
+    "番茄 tomato",
+    "naïve élève ÀÇÉ",
+    "foo.bar:baz/qux",
+    "100% true!",
+]
+
+
+def fts5_tokenize(text: str) -> list[str]:
+    """Ground truth: ask SQLite's own unicode61 tokenizer."""
+    conn = sqlite3.connect(":memory:")
+    conn.execute("CREATE VIRTUAL TABLE t USING fts5(c)")
+    rows = conn.execute(
+        "SELECT token FROM fts5_vocab_helper(?)"
+    ) if False else None
+    # fts5vocab needs data; simpler: use the fts5 aux via a one-row table
+    conn.execute("CREATE VIRTUAL TABLE v USING fts5vocab(t, 'instance')")
+    conn.execute("INSERT INTO t VALUES (?)", (text,))
+    out = [
+        (term, off)
+        for term, _doc, _col, off in conn.execute(
+            "SELECT term, doc, col, offset FROM v ORDER BY offset"
+        )
+    ]
+    return [term for term, _ in sorted(out, key=lambda x: x[1])]
+
+
+@pytest.mark.parametrize("text", INDEX_CASES)
+def test_index_tokenizer_matches_fts5(text):
+    ours = _tokenize_series(pd.Series([text])).iloc[0]
+    assert list(ours) == fts5_tokenize(text)
+
+
+def test_related_terms_stopwords_and_length():
+    content = "the the the apple apple banana an it to xx yz index index index"
+    terms = related_terms_local(content, n=3)
+    assert terms == ["index", "apple", "banana"]
+    assert "the" in STOPWORDS and "an" in STOPWORDS
