@@ -233,6 +233,75 @@ def build_index(
 
     ``fail_after_stage`` injects a failure for the resume test fixture.
     """
+    return _build(
+        spark,
+        corpus,
+        index_dir,
+        name=name,
+        tokenizer_profile=tokenizer_profile,
+        params=params,
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
+        resume=resume,
+        fail_after_stage=fail_after_stage,
+        source=source,
+        ids_preassigned=False,
+    )
+
+
+def rebuild_from_identified(
+    spark: SparkSession,
+    docs_with_ids: DataFrame,
+    index_dir: str,
+    name: str = "default",
+    *,
+    tokenizer_profile: str = "unicode61",
+    params: BM25Params | None = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    source: dict | None = None,
+) -> IndexManifest:
+    """Rebuild an index from a corpus that already carries ``doc_id``
+    (incremental update path — preserves stable ids).  Builds into a
+    sibling temp dir, then atomically swaps, so the source index stays
+    readable throughout (Spark reads are lazy)."""
+    tmp_dir = index_dir.rstrip("/") + ".build-tmp"
+    # Materialize before the swap: the input may lazily read index_dir.
+    docs_with_ids = docs_with_ids.localCheckpoint(eager=True)
+    manifest = _build(
+        spark,
+        docs_with_ids,
+        tmp_dir,
+        name=name,
+        tokenizer_profile=tokenizer_profile,
+        params=params,
+        num_buckets=num_buckets,
+        num_partitions=None,
+        resume=False,
+        fail_after_stage=None,
+        source=source,
+        ids_preassigned=True,
+    )
+    if os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+    os.replace(tmp_dir, index_dir)
+    return manifest
+
+
+def _build(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    name: str,
+    tokenizer_profile: str,
+    params: BM25Params | None,
+    num_buckets: int,
+    num_partitions: int | None,
+    resume: bool,
+    fail_after_stage: str | None,
+    source: dict | None,
+    ids_preassigned: bool,
+) -> IndexManifest:
     params = params or BM25Params()
     if not resume and os.path.exists(index_dir):
         shutil.rmtree(index_dir)
@@ -258,7 +327,10 @@ def build_index(
 
     # -- stage 1: docs table with deterministic doc_id + invariants ---------
     def _docs() -> dict:
-        ids = assign_doc_ids(corpus, num_partitions)
+        if ids_preassigned:
+            ids = with_derived_columns(corpus).drop("_dirname", "_natint")
+        else:
+            ids = assign_doc_ids(corpus, num_partitions)
         out = (
             ids.withColumn("content_sha256", F.sha2(F.col("content"), 256))
             .withColumn("content_md5", F.md5(F.col("content")))

@@ -1,0 +1,284 @@
+"""BM25SparkClient — the user-facing API surface, mirroring the reference's
+``BM25Client`` (reference ``api.py:43-600``): create/search/search_multi/
+search_related/batch_search/update_index/stats/list/delete + path filters,
+fragments, LRU cache, history log.  A user of the reference can switch to
+this client and run every query they run today (SURVEY.md §2 coverage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bm25_index_tool_spark import build as B
+from bm25_index_tool_spark import fusion
+from bm25_index_tool_spark.cache import SearchCache
+from bm25_index_tool_spark.filters import PathFilter
+from bm25_index_tool_spark.fragments import extract_fragments
+from bm25_index_tool_spark.history import SearchHistory
+from bm25_index_tool_spark.related import search_related as _search_related
+from bm25_index_tool_spark.score import (
+    LoadedIndex,
+    score_query,
+    score_query_batch,
+)
+
+REGISTRY_FILE = "registry.json"
+
+
+class BM25SparkClient:
+    """All indices live under ``root_dir``; a ``registry.json`` catalogs
+    them (reference ``storage/registry.py:16-141`` role)."""
+
+    def __init__(self, spark: SparkSession, root_dir: str):
+        self.spark = spark
+        self.root = root_dir
+        os.makedirs(root_dir, exist_ok=True)
+        self.cache = SearchCache(max_size=100)
+        self.history = SearchHistory(spark, os.path.join(root_dir, "_history"))
+        self._open: dict[str, LoadedIndex] = {}
+
+    # -- registry ------------------------------------------------------------
+
+    def _registry_path(self) -> str:
+        return os.path.join(self.root, REGISTRY_FILE)
+
+    def _read_registry(self) -> dict:
+        p = self._registry_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_registry(self, reg: dict) -> None:
+        tmp = self._registry_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(reg, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._registry_path())
+
+    def _index_dir(self, name: str) -> str:
+        return os.path.join(self.root, "indices", name)
+
+    def _require(self, name: str) -> LoadedIndex:
+        if name not in self._read_registry():
+            raise ValueError(f"Index '{name}' not found")
+        if name not in self._open:
+            self._open[name] = LoadedIndex.open(self.spark, self._index_dir(name))
+        return self._open[name]
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def create_index(
+        self,
+        name: str,
+        corpus: DataFrame,
+        *,
+        tokenizer_profile: str = "unicode61",
+        params: B.BM25Params | None = None,
+        num_buckets: int = B.DEFAULT_NUM_BUCKETS,
+        overwrite: bool = False,
+    ) -> B.IndexManifest:
+        reg = self._read_registry()
+        if name in reg and not overwrite:
+            raise ValueError(f"Index '{name}' already exists")
+        manifest = B.build_index(
+            self.spark,
+            corpus,
+            self._index_dir(name),
+            name=name,
+            tokenizer_profile=tokenizer_profile,
+            params=params,
+            num_buckets=num_buckets,
+        )
+        reg[name] = {
+            "name": name,
+            "created_at": manifest.created_at,
+            "file_count": manifest.num_docs,
+            "index_version": manifest.index_version,
+            "tokenizer_profile": manifest.tokenizer_profile,
+            "bm25_params": manifest.params.__dict__,
+        }
+        self._write_registry(reg)
+        self._open.pop(name, None)
+        return manifest
+
+    def update_index(self, name: str, current: DataFrame) -> B.IndexManifest:
+        """Incremental update (anti-join diff + merge; SURVEY.md §2.3 I3)."""
+        from bm25_index_tool_spark.incremental import apply_update
+
+        self._require(name)
+        manifest = apply_update(self.spark, self._index_dir(name), current)
+        reg = self._read_registry()
+        reg[name]["file_count"] = manifest.num_docs
+        self._write_registry(reg)
+        self._open.pop(name, None)
+        self.cache.clear()
+        return manifest
+
+    def delete_index(self, name: str) -> None:
+        reg = self._read_registry()
+        if name not in reg:
+            raise ValueError(f"Index '{name}' not found")
+        del reg[name]
+        self._write_registry(reg)
+        self._open.pop(name, None)
+        shutil.rmtree(self._index_dir(name), ignore_errors=True)
+        self.cache.clear()
+
+    def list_indices(self) -> list[dict]:
+        return [v for _, v in sorted(self._read_registry().items())]
+
+    def stats(self, name: str) -> dict:
+        """Reference ``commands/stats.py`` counters as DataFrame aggregates."""
+        from pyspark.sql import functions as F
+
+        idx = self._require(name)
+        docs = idx.docs()
+        agg = docs.agg(
+            F.count("*").alias("n"), F.sum("size").alias("total_size")
+        ).collect()[0]
+        by_lang = {
+            r["lang"]: r["count"]
+            for r in docs.groupBy("lang").count().orderBy(F.desc("count"), "lang").collect()
+        }
+        n_terms = idx.termstats().count()
+        return {
+            "name": name,
+            "document_count": agg["n"],
+            "total_size": agg["total_size"],
+            "by_lang": by_lang,
+            "distinct_terms": n_terms,
+            "avgdl": idx.manifest.avgdl,
+            "num_buckets": idx.manifest.num_buckets,
+        }
+
+    # -- search --------------------------------------------------------------
+
+    def search(
+        self,
+        name: str,
+        query: str,
+        top_k: int = 10,
+        *,
+        include_content: bool = False,
+        fragments: bool = False,
+        context_lines: int = 3,
+        path_filter: list[str] | None = None,
+        exclude_path: list[str] | None = None,
+        use_cache: bool = True,
+    ) -> list[dict[str, Any]]:
+        """Single-index search returning result dicts (reference
+        ``BM25Client.search`` shape: path, name, score[, content,
+        fragments]).  Cache is bypassed when fragments or path filters are
+        active — reference ``api.py:277`` behavior."""
+        pf = PathFilter(path_filter or [], exclude_path or [])
+        cacheable = use_cache and not fragments and pf.is_empty()
+        key = SearchCache.make_key([name], query, top_k)
+        if cacheable:
+            hit = self.cache.get(key)
+            if hit is not None:
+                return hit
+
+        t0 = time.monotonic()
+        idx = self._require(name)
+        need_content = include_content or fragments
+        rows = score_query(
+            idx, query, top_k, include_content=need_content
+        ).collect()
+        results = []
+        for r in rows:
+            d: dict[str, Any] = {
+                "document_id": r["doc_id"],
+                "path": r["path"],
+                "name": r["filename"],
+                "score": r["score"],
+                "content_sha256": r["content_sha256"],
+            }
+            if include_content:
+                d["content"] = r["content"]
+            if fragments:
+                # reference uses raw query.split() terms for fragment
+                # highlighting (core/searcher.py:60), not FTS tokens
+                d["fragments"] = extract_fragments(
+                    r["content"], query.split(), context_lines=context_lines
+                )
+            results.append(d)
+
+        # post-top-k path filtering (can shrink below k — reference P1)
+        results = pf.filter_rows(results)
+        elapsed = time.monotonic() - t0
+        self.history.log(
+            [name], query, top_k, len(results), elapsed,
+            path_filter, exclude_path,
+        )
+        if cacheable:
+            self.cache.set(key, results)
+        return results
+
+    def search_multi(
+        self,
+        names: list[str],
+        query: str,
+        top_k: int = 10,
+        *,
+        merge_strategy: str = "rrf",
+        merge_params: dict | None = None,
+    ) -> list[dict[str, Any]]:
+        """Multi-index fused search (reference ``core/searcher.py:97-160``):
+        per-index over-fetch ``fetch_k = max(100, 3*top_k)``, silently skip
+        failing indices, fuse with the chosen strategy."""
+        fetch_k = fusion.fetch_k_for(top_k)
+        per_index = []
+        used = []
+        for n in names:
+            try:
+                idx = self._require(n)
+                df = score_query(idx, query, fetch_k, include_content=False)
+                per_index.append(df.select("doc_id", "path", "filename", "score"))
+                used.append(n)
+            except ValueError:
+                continue  # reference silently skips failing indices (:147-149)
+        if not per_index:
+            return []
+        merged = fusion.merge(
+            merge_strategy, per_index, top_k, **(merge_params or {})
+        )
+        rows = merged.collect()
+        return [
+            {
+                "path": r["path"],
+                "name": r["filename"],
+                "score": r["score"],
+                "document_id": r["doc_id"],
+            }
+            for r in rows
+        ]
+
+    def search_related(
+        self, name: str, source_path: str, top_k: int = 10
+    ) -> list[dict[str, Any]]:
+        idx = self._require(name)
+        rows = _search_related(idx, source_path, top_k).collect()
+        return [
+            {
+                "path": r["path"],
+                "name": r["filename"],
+                "score": r["score"],
+                "document_id": r["doc_id"],
+            }
+            for r in rows
+        ]
+
+    def batch_search(
+        self, name: str, queries: list[str], top_k: int = 10
+    ) -> DataFrame:
+        """Set-at-a-time batch: ONE Spark job for all queries (SURVEY §2.9
+        C3) — returns the (query_id, query, doc_id, path, score, rank)
+        DataFrame; callers may collect or write JSONL via ``.write.json``."""
+        idx = self._require(name)
+        return score_query_batch(idx, queries, top_k)

