@@ -1,0 +1,144 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Env:
+  SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_REPLICATION   corpus replication factor for the build phase
+                      (default 8 — documents×8 so the build measures real
+                      distributed work, not session overhead)
+
+Phases:
+  index_build      distributed inverted-index build over the replicated
+                   corpus → files/sec
+  query_p50/p95    single-query latency over the reference-style query set
+                   against the built index (bucket-pruned join plan)
+  batch_queries    set-at-a-time batch of all queries in one job
+  bm25_topk etc.   flagship surface queries straight off the sf tables
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+QUERIES = [
+    "spark join table",
+    "window merge",
+    "vector stream",
+    "table scan filter",
+    "data query",
+    "hash group order",
+    "batch window",
+    "customer line value",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replication = int(os.environ.get("BENCH_REPLICATION", "8"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bm25-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bm25_index_tool_spark import build as B
+    from bm25_index_tool_spark import surface
+    from bm25_index_tool_spark.score import LoadedIndex, score_query, score_query_batch
+
+    timings: dict[str, float] = {}
+
+    # -- corpus: sf documents replicated with distinct paths -----------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = spark.range(replication).select(F.col("id").alias("rep"))
+    corpus = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string"), F.lit("/"), F.col("source")).alias("repo"),
+            F.concat(
+                F.lit("src/rep_"), F.col("rep").cast("string"),
+                F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt"),
+            ).alias("path"),
+            F.md5(F.concat(F.col("source"), F.col("doc_id").cast("string"))).alias("commit"),
+            "lang",
+            F.col("text").alias("content"),
+        )
+    )
+    n_files = corpus.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="bm25_bench_idx_")
+    try:
+        t0 = time.monotonic()
+        B.build_index(
+            spark, corpus, idx_dir, name="bench",
+            num_buckets=max(cpus, 16), num_partitions=max(cpus, 16),
+        )
+        build_sec = time.monotonic() - t0
+        timings["index_build"] = round(build_sec, 3)
+        files_per_sec = n_files / build_sec
+
+        index = LoadedIndex.open(spark, idx_dir)
+
+        # warm: one query to JIT/plan-cache
+        score_query(index, QUERIES[0], 10, include_content=False).collect()
+
+        lat = []
+        for q in QUERIES:
+            t = time.monotonic()
+            score_query(index, q, 10, include_content=False).collect()
+            lat.append(time.monotonic() - t)
+        lat_sorted = sorted(lat)
+        timings["query_p50"] = round(lat_sorted[len(lat) // 2], 3)
+        timings["query_p95"] = round(lat_sorted[max(0, int(len(lat) * 0.95) - 1)], 3)
+        timings["query_total"] = round(sum(lat), 3)
+
+        t = time.monotonic()
+        score_query_batch(index, QUERIES, 10).collect()
+        timings["batch_queries"] = round(time.monotonic() - t, 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # -- flagship surface queries off the raw sf tables ----------------------
+    for name in ["bm25_topk", "dedup_minhash_pairs", "cosine_topk", "simhash"]:
+        fn = surface.queries()[name]
+        t = time.monotonic()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.monotonic() - t, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bm25_spark_headline_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_files_built": n_files,
+                "files_per_sec": round(files_per_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,209 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four are pure DataFrame compositions (JVM-side expressions — the only
+hashes used are ``md5``/``sha2``, which exist identically in Spark and
+DuckDB so every operator has a SQL differential oracle):
+
+* **exact**: group by content hash — the classic hash-groupBy dedup.
+* **MinHash + LSH**: token-shingle → k min-hashes (min over md5(seed‖
+  shingle) hex strings — lexicographic min is engine-portable) → band →
+  bucket-join → candidate pairs.  Scale path: the band join shuffles on
+  (band, band_signature) so each bucket is tiny; no O(N²) pair blow-up.
+* **SimHash**: 16-bit fingerprint from per-term md5 high-bits weighted by
+  tf; near-dups share fingerprints (or differ by few bits).
+* **n-gram Jaccard**: exact Jaccard over token n-gram sets for candidate
+  pairs, via an explode + self-join on shingle + |A∩B|/|A∪B|.
+
+At 100 TB: exact dedup and MinHash banding shuffle on well-distributed hash
+keys (no skew); Jaccard verification is restricted to LSH candidates, never
+all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    """ASCII word tokens — engine-portable (same regex runs in DuckDB)."""
+    return F.array_remove(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), "")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct token n-gram shingles per doc: (id, shingle)."""
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("toks"))
+    # n-gram via a join-free slide: shingle i = toks[i..i+n-1]; docs shorter
+    # than n tokens produce no shingles (empty sequence guard).
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        toks.select(
+            "id",
+            F.explode(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, dup_count, doc_ids)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.sort_array(F.collect_list("id")).alias("doc_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): min over md5(f"{seed}|{shingle}") hex strings.
+    Lexicographic min over fixed-width hex == min-hash with a 128-bit hash
+    family; identical results in any engine with md5()."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, band) via LSH banding."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(shingles(df, id_col, text_col, shingle_n), num_hashes)
+    band_frames = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_frames.append(
+            sig.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("band_sig"),
+            )
+        )
+    import functools
+
+    banded = functools.reduce(lambda a, c: a.unionByName(c), band_frames)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with Jaccard(shingle sets) ≥ threshold.
+    Intersection via self-join on shingle (co-partitioned shuffle), union by
+    inclusion–exclusion — never materializes the full pair matrix."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """(id, simhash) — per-term bit b = high bit of hex digit b of
+    md5(term) (md5 hex is identical across engines); bit contributes
+    +tf/−tf; fingerprint bit = sign of the sum."""
+    terms = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.md5("term"))
+    )
+    bit_sums = terms.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                    F.col("tf"),
+                ).otherwise(-F.col("tf"))
+            ).alias(f"s_{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"s_{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("id", fp.alias("simhash"))
+
+
+def embedding_cosine_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+    bucket_dims: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs: sign-bucket on the first ``bucket_dims``
+    dims (an axis-aligned SRP-LSH — engine-portable), cosine within bucket
+    only.  Brute-force within-bucket is bounded by bucket size, not N²."""
+    from bm25_index_tool_spark.pipeline.simsearch import cosine_expr, sign_bucket
+
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("bucket", sign_bucket(F.col("v"), bucket_dims))
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 9).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return pairs

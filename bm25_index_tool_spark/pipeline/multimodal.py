@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``decode_image_batch`` raises ``NotImplementedError`` unless
+``deterministic_fake=True``, which produces a seeded, content-derived fake
+"decode" so the Spark-side plumbing — schema, batch shape, partitioning,
+UDF signature — is real and tested end-to-end.
+
+Swap ``_fake_decode`` for a real PIL/libvips call on a cluster with the
+libs installed; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime_type", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("feature_hash", StringType()),
+    ]
+)
+
+
+def synthetic_media_df(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic opaque binary payloads (content = sha256 stream of the
+    id) — stands in for real image/audio bytes."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (1 + i % 5)
+        rows.append((i, kind, bytearray(payload), mimes[kind], len(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, str]:
+    """Deterministic fake decode: dimensions/frame-count derived from the
+    payload hash.  REPLACE with a real decoder on a real cluster."""
+    h = hashlib.sha256(payload).hexdigest()
+    width = 64 + int(h[:4], 16) % 1024
+    height = 64 + int(h[4:8], 16) % 1024
+    n_frames = 1 if kind == "image" else 1 + int(h[8:12], 16) % 300
+    return width, height, n_frames, h[:16]
+
+
+def decode_image_batch(
+    df: DataFrame, *, deterministic_fake: bool = False
+) -> DataFrame:
+    """Decode/feature-extract media via ``mapInPandas`` (Arrow batches —
+    the payload bytes never pass through per-row Python object boxing).
+
+    Raises NotImplementedError without ``deterministic_fake`` because the
+    decode libraries are not present in this environment.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "Real media decoding requires PIL/libvips/ffmpeg (not installed "
+            "here). Pass deterministic_fake=True to exercise the plumbing."
+        )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _fake_decode(bytes(p), k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                    "feature_hash": [d[3] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(process, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(features: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling *plan*: which frame indices to extract per video —
+    pure column expressions (sequence), no decode needed."""
+    return features.where(F.col("kind") == "video").select(
+        "media_id",
+        F.sequence(
+            F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
+        ).alias("sample_frames"),
+    )

@@ -1,0 +1,918 @@
+"""Driver-contract query surface: every operator family from SURVEY.md §2
+plus the training-data pipeline ops, each as BOTH a Spark callable
+``(spark, sf_dir) -> DataFrame`` and a DuckDB-runnable ANSI-SQL oracle over
+the same parquet tables.
+
+Column names, types, and value rounding are aligned pairwise: the driver's
+compare sorts columns by name and hashes values, so every computed column is
+explicitly aliased and cast identically on both sides.  Scores derived from
+floating-point math are rounded (6–9 dp) to absorb last-ulp libm divergence
+between the JVM and DuckDB.
+
+The heavyweight BM25 queries here run over the driver's ``documents`` table
+(doc_id, text, lang, source, n_chars) — a single-text-column corpus, so
+dl/tf are single-column (the three-column FTS5 semantics are covered by the
+rank-identity suite against SQLite in tests/test_rank_identity.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from bm25_index_tool_spark.pipeline import dedup as DD
+from bm25_index_tool_spark.pipeline import simsearch as SS
+from bm25_index_tool_spark.pipeline import textstats as TS
+from bm25_index_tool_spark.tokenize import STOPWORDS
+
+K1, B = 1.2, 0.75
+
+# ---------------------------------------------------------------------------
+# shared helpers — Spark side
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tok(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(DD.tokens_col("text")).alias("term")
+    )
+
+
+def _corpus_scalars(docs: DataFrame) -> tuple[float, float]:
+    """(N, avgdl) as exact doubles (integer sums divided — engine-identical)."""
+    dl = _tok(docs).groupBy("doc_id").agg(F.count("*").alias("dl"))
+    row = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return float(row["n"]), float(row["avgdl"])
+
+
+def _bm25_scored(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """Conjunctive BM25 over the single text column: (doc_id, score) for
+    docs containing ALL terms; score formula identical (textually) to the
+    SQL oracle below."""
+    n, avgdl = _corpus_scalars(docs)
+    tok = _tok(docs)
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    tf = (
+        tok.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    raw_idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    idf = F.when(raw_idf <= 0.0, F.lit(1e-6)).otherwise(raw_idf)
+    scored = (
+        tf.join(F.broadcast(dfreq.withColumn("idf", idf).select("term", "idf")), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * (
+                (F.col("tf") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("_score"), F.count("*").alias("_nt"))
+        .where(F.col("_nt") == len(set(terms)))
+        .select("doc_id", F.round("_score", 6).alias("score"))
+    )
+    return scored
+
+
+# SQL prelude builders — DuckDB side (kept textually parallel to the Spark
+# expressions above; N/avgdl are computed in-SQL from the same tokens).
+
+_SQL_TOK = """
+tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(term)
+)"""
+
+_SQL_DL = """
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id)"""
+
+_SQL_STATS = """
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl)"""
+
+
+def _sql_bm25(terms: list[str], extra_select: str = "doc_id, score") -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    n_distinct = len(set(terms))
+    return f"""
+WITH {_SQL_TOK},
+{_SQL_DL},
+{_SQL_STATS},
+qterms AS (SELECT * FROM (VALUES {vals}) AS q(term)),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+    CASE WHEN ln((s.n - df + 0.5) / (df + 0.5)) <= 0.0 THEN 1e-6
+         ELSE ln((s.n - df + 0.5) / (df + 0.5)) END AS idf
+  FROM dfreq, stats s
+),
+scored AS (
+  SELECT tf.doc_id,
+    sum(idf.idf * ((tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl)))) AS _score,
+    count(*) AS _nt
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+result AS (
+  SELECT doc_id, round(_score, 6) AS score FROM scored WHERE _nt = {n_distinct}
+)
+SELECT {extra_select} FROM result"""
+
+
+# ---------------------------------------------------------------------------
+# Query definitions: name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["spark", "join", "table"]
+BM25_ALL_TERMS = ["window", "merge"]
+BATCH_QUERIES = [
+    (0, ["spark", "join"]),
+    (1, ["table", "scan", "filter"]),
+    (2, ["vector", "stream"]),
+]
+RRF_LIST_A = ["spark", "join"]
+RRF_LIST_B = ["table", "join"]
+RRF_K = 60
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Q1: conjunctive BM25 top-20 (score DESC, doc_id ASC)."""
+    return (
+        _bm25_scored(_docs(spark, sf_dir), BM25_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_BM25_TOPK = _sql_bm25(BM25_TERMS) + "\nORDER BY score DESC, doc_id LIMIT 20"
+
+
+def q_bm25_all_matches(spark, sf_dir):
+    """Q1 unbounded: every conjunctive match with its score."""
+    return _bm25_scored(_docs(spark, sf_dir), BM25_ALL_TERMS)
+
+
+SQL_BM25_ALL = _sql_bm25(BM25_ALL_TERMS)
+
+
+def q_bm25_batch(spark, sf_dir):
+    """C3 set-at-a-time: all queries in ONE pass, top-10 each."""
+    docs = _docs(spark, sf_dir)
+    n, avgdl = _corpus_scalars(docs)
+    tok = _tok(docs)
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    qrows = [
+        (qid, t, len(set(terms))) for qid, terms in BATCH_QUERIES for t in terms
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id int, term string, n_terms int")
+    tf = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    raw_idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    dfreq = dfreq.withColumn(
+        "idf", F.when(raw_idf <= 0.0, F.lit(1e-6)).otherwise(raw_idf)
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * (
+                (F.col("tf") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+                )
+            ),
+        )
+        .groupBy("query_id", "n_terms", "doc_id")
+        .agg(F.sum("partial").alias("_score"), F.count("*").alias("_nt"))
+        .where(F.col("_nt") == F.col("n_terms"))
+        .select("query_id", "doc_id", F.round("_score", 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def _sql_batch() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}', {len(set(terms))})"
+        for qid, terms in BATCH_QUERIES
+        for t in terms
+    )
+    return f"""
+WITH {_SQL_TOK},
+{_SQL_DL},
+{_SQL_STATS},
+qterms AS (SELECT * FROM (VALUES {vals}) AS q(query_id, term, n_terms)),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+    CASE WHEN ln((s.n - df + 0.5) / (df + 0.5)) <= 0.0 THEN 1e-6
+         ELSE ln((s.n - df + 0.5) / (df + 0.5)) END AS idf
+  FROM dfreq, stats s
+),
+scored AS (
+  SELECT q.query_id, q.n_terms, tf.doc_id,
+    sum(idf.idf * ((tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.dl / s.avgdl)))) AS _score,
+    count(*) AS _nt
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN idf USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.n_terms, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(_score, 6) AS score,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(_score, 6) DESC, doc_id) AS INT) AS rank
+  FROM scored WHERE _nt = n_terms
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10"""
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """F2: RRF(k=60) over two ranked BM25 lists (two queries), top-20."""
+    docs = _docs(spark, sf_dir)
+    lists = []
+    for i, terms in enumerate([RRF_LIST_A, RRF_LIST_B]):
+        s = _bm25_scored(docs, terms).withColumn("list_idx", F.lit(i))
+        lists.append(s)
+    both = lists[0].unionByName(lists[1])
+    w = Window.partitionBy("list_idx").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = both.withColumn("rank", F.row_number().over(w))
+    fused = (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank"))), 9
+            ).alias("rrf_score")
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return fused
+
+
+def _sql_rrf() -> str:
+    a = _sql_bm25(RRF_LIST_A)
+    b = _sql_bm25(RRF_LIST_B)
+    return f"""
+WITH la AS ({a}), lb AS ({b}),
+ranked AS (
+  SELECT doc_id, 0 AS list_idx,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM la
+  UNION ALL
+  SELECT doc_id, 1 AS list_idx,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM lb
+)
+SELECT doc_id, round(sum(1.0 / ({RRF_K}.0 + rank)), 9) AS rrf_score
+FROM ranked GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 20"""
+
+
+# -- corpus statistics / aggregates (A1-A8, I2) ------------------------------
+
+
+def q_corpus_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tok = _tok(docs)
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_terms = tok.select("term").distinct().count()
+    return dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        F.lit(n_terms).cast("long").alias("n_distinct_terms"),
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH {_SQL_TOK},
+{_SQL_DL}
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(dl), 6) AS avgdl,
+       (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tok) AS n_distinct_terms
+FROM dl"""
+
+
+def q_doc_lengths(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.size(DD.tokens_col("text")).cast("long").alias("dl")
+    )
+
+
+SQL_DOC_LENGTHS = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS dl
+FROM documents"""
+
+
+def q_term_df_top50(spark, sf_dir):
+    tok = _tok(_docs(spark, sf_dir))
+    return (
+        tok.groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+SQL_TERM_DF_TOP50 = f"""
+WITH {_SQL_TOK}
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok GROUP BY term
+ORDER BY df DESC, term LIMIT 50"""
+
+
+def q_lang_counts(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+SQL_LANG_COUNTS = "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang"
+
+
+def q_source_sizes(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+SQL_SOURCE_SIZES = """
+SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source"""
+
+
+# -- incremental change detection (I3/J3: anti-joins) ------------------------
+
+
+def q_incremental_changes(spark, sf_dir):
+    """Synthetic stored/current states derived from documents:
+    stored = doc_id % 10 != 3; current modifies text of doc_id % 10 == 7.
+    Output: (doc_id, change_type) via left_anti / inner+filter joins."""
+    docs = _docs(spark, sf_dir)
+    stored = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    current = docs.select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 10 == 7, F.concat(F.col("text"), F.lit(" MODIFIED")))
+            .otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    added = current.join(stored, "doc_id", "left_anti").select(
+        "doc_id", F.lit("added").alias("change_type")
+    )
+    deleted = stored.join(current, "doc_id", "left_anti").select(
+        "doc_id", F.lit("deleted").alias("change_type")
+    )
+    modified = (
+        current.alias("c")
+        .join(stored.alias("s"), "doc_id")
+        .where(F.col("c.h") != F.col("s.h"))
+        .select("doc_id", F.lit("modified").alias("change_type"))
+    )
+    return added.unionByName(deleted).unionByName(modified)
+
+
+SQL_INCREMENTAL = """
+WITH stored AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 != 3
+),
+current AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 10 = 7 THEN text || ' MODIFIED' ELSE text END) AS h
+  FROM documents
+)
+SELECT c.doc_id, 'added' AS change_type
+FROM current c ANTI JOIN stored s USING (doc_id)
+UNION ALL
+SELECT s.doc_id, 'deleted' AS change_type
+FROM stored s ANTI JOIN current c USING (doc_id)
+UNION ALL
+SELECT c.doc_id, 'modified' AS change_type
+FROM current c JOIN stored s USING (doc_id) WHERE c.h != s.h"""
+
+
+# -- related terms (T3/A5) ----------------------------------------------------
+
+
+def q_related_terms_doc0(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") == 0)
+    tok = _tok(docs)
+    return (
+        tok.where(F.col("term").rlike("^[a-z][a-z0-9]+$"))
+        .where(F.length("term") > 2)
+        .where(~F.col("term").isin(sorted(STOPWORDS)))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(10)
+    )
+
+
+def _sql_related() -> str:
+    stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+WITH {_SQL_TOK}
+SELECT term, CAST(count(*) AS BIGINT) AS tf
+FROM tok
+WHERE doc_id = 0
+  AND regexp_full_match(term, '[a-z][a-z0-9]+')
+  AND length(term) > 2
+  AND term NOT IN ({stop})
+GROUP BY term
+ORDER BY tf DESC, term LIMIT 10"""
+
+
+def q_top_term_per_doc(spark, sf_dir):
+    """F1 rank construct: the single top-TF term per doc (docs 0..19)."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 20)
+    tf = (
+        _tok(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "term", "tf")
+    )
+
+
+SQL_TOP_TERM_PER_DOC = f"""
+WITH {_SQL_TOK},
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE doc_id < 20 GROUP BY doc_id, term
+)
+SELECT doc_id, term, tf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+  FROM tf
+) WHERE rn = 1"""
+
+
+# -- deduplication -------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup over a corpus WITH duplicates (documents ∪ copies of
+    doc_id%25==0 re-keyed +10000): (content_hash, dup_count, doc_ids)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    combined = docs.unionByName(dups)
+    return (
+        DD.exact_duplicates(combined, "doc_id", "text")
+        .select(
+            "content_hash",
+            F.col("dup_count").cast("long").alias("dup_count"),
+            F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias("doc_ids"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH combined AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+)
+SELECT md5(text) AS content_hash,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM combined GROUP BY md5(text) HAVING count(*) > 1"""
+
+
+SHINGLE_N = 3
+MINHASH_K = 8
+MINHASH_BANDS = 4
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        DD.minhash_lsh_pairs(
+            docs, "doc_id", "text",
+            shingle_n=SHINGLE_N, num_hashes=MINHASH_K, bands=MINHASH_BANDS,
+        )
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+    )
+
+
+def _sql_minhash() -> str:
+    mh_cols = ",\n    ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(MINHASH_K)
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        cols = " || '|' || ".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT id, {b} AS band, {cols} AS band_sig FROM sig"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+  FROM toks, unnest(range(1, len(t) - {SHINGLE_N} + 2)) AS u(i)
+  WHERE len(t) >= {SHINGLE_N}
+),
+sig AS (
+  SELECT id,
+    {mh_cols}
+  FROM sh GROUP BY id
+),
+banded AS (
+  {bands_sql}
+)
+SELECT DISTINCT CAST(l.id AS BIGINT) AS id_a, CAST(r.id AS BIGINT) AS id_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.band_sig = r.band_sig AND l.id < r.id"""
+
+
+JACCARD_THRESHOLD = 0.1
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _sql_jaccard() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+  FROM toks, unnest(range(1, len(t) - {SHINGLE_N} + 2)) AS u(i)
+  WHERE len(t) >= {SHINGLE_N}
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id GROUP BY a.id, b.id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 9) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}"""
+
+
+SIMHASH_BITS = 16
+
+
+def q_simhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return DD.simhash(docs, "doc_id", "text", bits=SIMHASH_BITS).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("simhash").cast("long").alias("simhash"),
+    )
+
+
+def _sql_simhash() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN substr(h, {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) AS s_{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s_{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_SQL_TOK},
+terms AS (
+  SELECT doc_id AS id, term, count(*) AS tf, md5(term) AS h
+  FROM tok GROUP BY doc_id, term
+),
+bit_sums AS (
+  SELECT id,
+    {bit_sums}
+  FROM terms GROUP BY id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST({fp} AS BIGINT) AS simhash FROM bit_sums"""
+
+
+# -- similarity search ---------------------------------------------------------
+
+COSINE_K = 20
+LSH_DIMS = 4
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = _emb(spark, sf_dir).where(F.col("vec_id") == 0).select("embedding").collect()
+    return [float(x) for x in row[0]["embedding"]]
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return SS.brute_force_topk(emb, _query_vec(spark, sf_dir), COSINE_K).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+_SQL_VECD = """
+vecd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM vecd WHERE vec_id = 0)"""
+
+SQL_COSINE_TOPK = f"""
+WITH {_SQL_VECD}
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9), 6) AS cosine
+FROM vecd, q
+ORDER BY cosine DESC, vec_id LIMIT {COSINE_K}"""
+
+
+def q_cosine_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return SS.lsh_bucketed_topk(
+        emb, _query_vec(spark, sf_dir), COSINE_K, bucket_dims=LSH_DIMS
+    ).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _sql_lsh() -> str:
+    bucket = " + ".join(
+        f"CASE WHEN v[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END" for i in range(LSH_DIMS)
+    )
+    return f"""
+WITH {_SQL_VECD},
+bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM vecd),
+qb AS (SELECT bucket AS qbucket, v AS qv FROM bucketed WHERE vec_id = 0)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9), 6) AS cosine
+FROM bucketed, qb
+WHERE bucket = qbucket
+ORDER BY cosine DESC, vec_id LIMIT {COSINE_K}"""
+
+
+# -- text analysis --------------------------------------------------------------
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return TS.token_counts(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+        F.col("word_tokens").cast("long").alias("word_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS word_tokens
+FROM documents"""
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return TS.quality_scores(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "non_alnum_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "keep",
+    )
+
+
+def _sql_quality() -> str:
+    stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    length(text) AS n_chars_actual,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum
+  FROM documents WHERE doc_id < 100
+),
+feat AS (
+  SELECT doc_id, n_chars_actual, len(toks) AS n_tokens,
+    round(CASE WHEN n_chars_actual > 0 THEN CAST(n_chars_actual - n_alnum AS DOUBLE) / n_chars_actual ELSE 0.0 END, 9) AS non_alnum_ratio,
+    round(CASE WHEN len(toks) > 0 THEN CAST(len(list_intersect(list_distinct(toks), [{stop}])) AS DOUBLE) / len(toks) ELSE 0.0 END, 9) AS stopword_ratio,
+    round(CASE WHEN len(toks) > 0 THEN CAST(n_alnum AS DOUBLE) / len(toks) ELSE 0.0 END, 9) AS mean_word_len
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       non_alnum_ratio, stopword_ratio, mean_word_len,
+       (n_tokens >= 5 AND non_alnum_ratio < 0.6 AND mean_word_len >= 2.0) AS keep
+FROM feat"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return TS.language_id(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("doc_id"),
+        "predicted_lang",
+        F.col("marker_hits").cast("long").alias("marker_hits"),
+    )
+
+
+def _sql_lang_id() -> str:
+    cases = []
+    for lang, markers in sorted(TS.LANG_MARKERS.items()):
+        marks = ", ".join(f"'{m}'" for m in markers)
+        cases.append(
+            f"len(list_filter(toks, x -> list_contains([{marks}], x))) AS hits_{lang}"
+        )
+    hits_cols = ",\n    ".join(cases)
+    langs = sorted(TS.LANG_MARKERS)
+    # argmax with alphabetical tie-break, matching the Spark fold
+    best = f"greatest({', '.join('hits_' + lang for lang in langs)})"
+    pick = "CASE "
+    for lang in langs:
+        pick += f"WHEN hits_{lang} = best THEN '{lang}' "
+    pick += "END"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    {hits_cols}
+  FROM base
+),
+best AS (SELECT *, {best} AS best FROM hits)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN best > 0 THEN {pick} ELSE 'und' END AS predicted_lang,
+       CAST(greatest(best, 0) AS BIGINT) AS marker_hits
+FROM best"""
+
+
+def q_fingerprints(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return TS.fingerprints(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("doc_id"), "fingerprint"
+    )
+
+
+SQL_FINGERPRINTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fingerprint
+FROM documents"""
+
+
+# -- multimodal plumbing (no SQL oracle: mapInPandas; rows-only check) ---------
+
+
+def q_multimodal_features(spark, sf_dir):
+    from bm25_index_tool_spark.pipeline.multimodal import (
+        decode_image_batch,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=96, seed=42)
+    return decode_image_batch(media, deterministic_fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "bm25_topk": q_bm25_topk,
+        "bm25_all_matches": q_bm25_all_matches,
+        "bm25_batch": q_bm25_batch,
+        "rrf_fusion": q_rrf_fusion,
+        "corpus_stats": q_corpus_stats,
+        "doc_lengths": q_doc_lengths,
+        "term_df_top50": q_term_df_top50,
+        "lang_counts": q_lang_counts,
+        "source_sizes": q_source_sizes,
+        "incremental_changes": q_incremental_changes,
+        "related_terms_doc0": q_related_terms_doc0,
+        "top_term_per_doc": q_top_term_per_doc,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "cosine_lsh_topk": q_cosine_lsh_topk,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "bm25_topk": SQL_BM25_TOPK,
+        "bm25_all_matches": SQL_BM25_ALL,
+        "bm25_batch": _sql_batch(),
+        "rrf_fusion": _sql_rrf(),
+        "corpus_stats": SQL_CORPUS_STATS,
+        "doc_lengths": SQL_DOC_LENGTHS,
+        "term_df_top50": SQL_TERM_DF_TOP50,
+        "lang_counts": SQL_LANG_COUNTS,
+        "source_sizes": SQL_SOURCE_SIZES,
+        "incremental_changes": SQL_INCREMENTAL,
+        "related_terms_doc0": _sql_related(),
+        "top_term_per_doc": SQL_TOP_TERM_PER_DOC,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash_pairs": _sql_minhash(),
+        "dedup_jaccard_pairs": _sql_jaccard(),
+        "simhash": _sql_simhash(),
+        "cosine_topk": SQL_COSINE_TOPK,
+        "cosine_lsh_topk": _sql_lsh(),
+        "token_counts": SQL_TOKEN_COUNTS,
+        "quality_scores": _sql_quality(),
+        "lang_id": _sql_lang_id(),
+        "fingerprints": SQL_FINGERPRINTS,
+        # multimodal_features: mapInPandas plumbing — rows-only check
+    }
