@@ -43,6 +43,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replication = int(os.environ.get("BENCH_REPLICATION", "8"))
+    # BENCH_PARTITIONS pins shuffle/bucket counts so scaling runs compare the
+    # SAME job (same tasks) at different parallelism — see BENCH/scaling.py.
+    partitions = int(os.environ.get("BENCH_PARTITIONS", str(max(cpus, 16))))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     from pyspark.sql import SparkSession, functions as F
@@ -50,7 +53,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("bm25-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 16)))
+        .config("spark.sql.shuffle.partitions", str(partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
@@ -88,7 +91,7 @@ def main() -> None:
         t0 = time.monotonic()
         B.build_index(
             spark, corpus, idx_dir, name="bench",
-            num_buckets=max(cpus, 16), num_partitions=max(cpus, 16),
+            num_buckets=partitions, num_partitions=partitions,
         )
         build_sec = time.monotonic() - t0
         timings["index_build"] = round(build_sec, 3)
@@ -134,6 +137,7 @@ def main() -> None:
                 "n_files_built": n_files,
                 "files_per_sec": round(files_per_sec, 1),
                 "cpus": cpus,
+                "partitions": partitions,
             }
         )
     )

@@ -1,0 +1,136 @@
+"""Zero-Python-object tokenization: ``mapInArrow`` + Arrow C++ kernels.
+
+The pandas-UDF tokenizer (tokenize.py) is semantically exact but pays for
+materializing every token as a Python string (``str.findall`` is row-wise
+CPython).  For the build hot path — hundreds of billions of tokens at the
+10^12-file target — this module computes per-document term frequencies
+entirely in Arrow C++:
+
+    utf8_lower → split_pattern_regex('[^a-z0-9]+') → list_flatten /
+    list_parent_indices → group_by(doc, term).count_all()
+
+No per-row Python, no Python token objects; the Arrow batch that crosses
+back into the JVM is already the aggregated ``(doc_id, term, tf)`` relation
+(each document lives in exactly one input row, so per-doc counts are
+complete within a batch).
+
+Semantics parity: for pure-ASCII text (the overwhelming case for source
+code) the C++ path produces exactly the unicode61 tokens of tokenize.py.
+Rows containing non-ASCII characters are diverted to the exact Python path
+(NFKD diacritic fold + ``[^\\W_]+``) inside the same function — identical
+output, only slower, and only for the rows that need it.  Differential
+equality against the pandas path is asserted in tests/test_arrow_tokenize.py.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import Column, DataFrame
+
+from bm25_index_tool_spark.tokenize import _TOKEN_RE, _strip_combining
+
+_ASCII_SPLIT_PATTERN = "[^a-z0-9]+"
+
+TF_SCHEMA = "doc_id long, term string, tf int"
+
+
+def _python_rows(doc_ids, texts) -> tuple[list[int], list[str], list[int]]:
+    """Exact-path fallback for non-ASCII rows (rare)."""
+    import unicodedata
+
+    out_ids: list[int] = []
+    out_terms: list[str] = []
+    out_tfs: list[int] = []
+    for did, txt in zip(doc_ids, texts):
+        folded = _strip_combining(unicodedata.normalize("NFKD", txt.lower()))
+        for term, tf in Counter(_TOKEN_RE.findall(folded)).items():
+            out_ids.append(did)
+            out_terms.append(term)
+            out_tfs.append(tf)
+    return out_ids, out_terms, out_tfs
+
+
+def _pin_arrow_threads() -> None:
+    """Each Spark Python worker must NOT spin up Arrow's default thread pool
+    (os.cpu_count() threads): with N workers that is N×cores threads and the
+    workers destroy each other's caches (measured: local[32] slower than
+    local[8]).  One Arrow thread per worker — Spark provides the
+    parallelism across workers."""
+    try:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+    except Exception:
+        pass
+
+
+def _batch_term_freqs(batch: pa.RecordBatch) -> pa.RecordBatch:
+    doc_ids = batch.column(0)
+    text = pc.utf8_lower(batch.column(1))
+    ascii_mask = pc.string_is_ascii(text)
+    all_ascii = pc.all(ascii_mask).as_py()
+
+    if all_ascii:
+        fast_ids, fast_text = doc_ids, text
+        slow_ids = slow_text = None
+    else:
+        fast_ids = pc.filter(doc_ids, ascii_mask)
+        fast_text = pc.filter(text, ascii_mask)
+        inv = pc.invert(ascii_mask)
+        slow_ids = pc.filter(doc_ids, inv)
+        slow_text = pc.filter(text, inv)
+
+    # C++ path: split → flatten → parent index → filter empties → group count
+    token_lists = pc.split_pattern_regex(fast_text, pattern=_ASCII_SPLIT_PATTERN)
+    flat = pc.list_flatten(token_lists)
+    parents = pc.list_parent_indices(token_lists)
+    nonempty = pc.not_equal(flat, "")
+    flat = pc.filter(flat, nonempty)
+    parents = pc.filter(parents, nonempty)
+    pair_ids = pc.take(fast_ids, parents)
+    tbl = pa.table({"doc_id": pair_ids, "term": flat})
+    agg = tbl.group_by(["doc_id", "term"], use_threads=False).aggregate(
+        [([], "count_all")]
+    )
+    ids_a = agg.column("doc_id")
+    terms_a = agg.column("term")
+    tfs_a = agg.column("count_all")
+
+    if slow_ids is not None and len(slow_ids):
+        s_ids, s_terms, s_tfs = _python_rows(
+            slow_ids.to_pylist(), slow_text.to_pylist()
+        )
+        ids_a = pa.chunked_array([*ids_a.chunks, pa.array(s_ids, pa.int64())])
+        terms_a = pa.chunked_array([*terms_a.chunks, pa.array(s_terms, pa.string())])
+        tfs_a = pa.chunked_array([*tfs_a.chunks, pa.array(s_tfs, pa.int64())])
+
+    return pa.RecordBatch.from_arrays(
+        [
+            ids_a.combine_chunks() if isinstance(ids_a, pa.ChunkedArray) else ids_a,
+            terms_a.combine_chunks() if isinstance(terms_a, pa.ChunkedArray) else terms_a,
+            pc.cast(
+                tfs_a.combine_chunks() if isinstance(tfs_a, pa.ChunkedArray) else tfs_a,
+                pa.int32(),
+            ),
+        ],
+        names=["doc_id", "term", "tf"],
+    )
+
+
+def doc_term_freqs(df: DataFrame, text_expr: Column, id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, term, tf)`` — the inverted-index source relation, computed
+    per input partition with Arrow C++ kernels (one output row per distinct
+    (doc, term); rows are already aggregated, no JVM groupBy needed)."""
+    src = df.select(df[id_col].alias("doc_id"), text_expr.alias("_text"))
+
+    def process(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        _pin_arrow_threads()
+        for batch in batches:
+            if batch.num_rows:
+                yield _batch_term_freqs(batch)
+
+    return src.mapInArrow(process, TF_SCHEMA)

@@ -33,7 +33,6 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from bm25_index_tool_spark.tokenize import token_count_unicode61, tokenizer_for
 
@@ -133,10 +132,17 @@ def with_derived_columns(corpus: DataFrame) -> DataFrame:
 
 def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Deterministic contiguous ``doc_id`` (1-based, FTS5-rowid-like) without
-    a driver bottleneck: range-partition on the order key, sort within
-    partitions, then add per-partition offsets (two-pass: a tiny count per
-    partition is collected, not the data).  Equivalent global order to a
-    full sort; scales to arbitrarily many partitions.
+    a driver bottleneck or an extra shuffle:
+
+    1. range-partition on the order key + sort within partitions (global
+       order across ordered partitions),
+    2. ``localCheckpoint`` the sorted data so the two passes below don't
+       recompute the (possibly expensive) input lineage — on a real cluster
+       a staging-parquet write serves the same purpose fault-tolerantly,
+    3. collect per-partition row COUNTS only (tiny), prefix-sum to offsets,
+    4. assign ``doc_id = offset[pid] + position`` with a vectorized
+       ``mapInPandas`` (Arrow; preserves the sorted in-partition order;
+       no window function → no second shuffle on pid).
     """
     df = with_derived_columns(corpus)
     cols = _order_cols()
@@ -144,8 +150,11 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
         df = df.repartitionByRange(num_partitions, *cols)
     else:
         df = df.repartitionByRange(*cols)
-    df = df.sortWithinPartitions(*cols).withColumn(
-        "_pid", F.spark_partition_id()
+    df = (
+        df.sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .drop("_dirname", "_natint")
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["_pid"]: r["cnt"]
@@ -155,16 +164,39 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
-    )
-    w = Window.partitionBy("_pid").orderBy(*cols)
-    return (
-        df.join(F.broadcast(off_df), "_pid")
-        .withColumn("doc_id", F.row_number().over(w) + F.col("_offset"))
-        .drop("_pid", "_offset", "_dirname", "_natint")
-    )
+
+    from pyspark.sql.types import LongType
+
+    out_schema = df.drop("_pid").schema.add("doc_id", LongType())
+    out_cols = [f.name for f in out_schema.fields]
+    in_cols = list(df.columns)
+    pid_idx = in_cols.index("_pid")
+    keep_names = [c for c in in_cols if c != "_pid"]
+
+    # mapInArrow, not mapInPandas: rows (including full document content)
+    # stay as Arrow buffers — the id column is the only thing created.
+    def _assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        pos = 0
+        base = None
+        for batch in batches:
+            if base is None:
+                base = offsets.get(batch.column(pid_idx)[0].as_py(), 0)
+            ids = pa.array(
+                np.arange(base + pos + 1, base + pos + 1 + batch.num_rows),
+                pa.int64(),
+            )
+            arrays = [
+                batch.column(i) for i in range(batch.num_columns) if i != pid_idx
+            ]
+            pos += batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                arrays + [ids], names=keep_names + ["doc_id"]
+            )
+
+    return df.mapInArrow(_assign, out_schema).select(*out_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -345,12 +377,42 @@ def _build(
     num_docs = m_docs["rows"]
     docs = spark.read.parquet(docs_path)
 
-    # -- stage 2: doc lengths (3-column dl, SURVEY.md §2.4) ------------------
-    def _doclens() -> dict:
-        dl = docs.select(
-            "doc_id",
-            token_count_unicode61(_fts_document()).cast("int").alias("dl"),
+    # -- stages 2-4: ONE tokenize pass feeds doclens, postings, termstats ----
+    # (term, doc_id, tf) is the source of truth: dl per doc = Σ tf (the FTS
+    # document's total token count), df per term = row count.  The persisted
+    # tf relation is reused across the three sinks — the tokenizer (the
+    # dominant CPU cost) runs exactly once over the corpus.
+    from pyspark import StorageLevel
+
+    from bm25_index_tool_spark.arrow_tokenize import doc_term_freqs
+
+    # Explicit repartition before the tokenizer: a small docs table read back
+    # from parquet may coalesce into 1-2 input splits (file packing), which
+    # would serialize the CPU-heavy tokenize stage.  At 100 TB the scan has
+    # ample natural splits and this is a cheap even-out; locally it is the
+    # difference between 1 core and all cores tokenizing.
+    tokenize_parallelism = num_partitions or max(
+        num_buckets, spark.sparkContext.defaultParallelism
+    )
+    # Tokenize + per-doc tf entirely in Arrow C++ (arrow_tokenize.py): each
+    # doc lives in one row, so (doc_id, term, tf) leaves the map already
+    # aggregated — no JVM explode, no 10^2-tokens-per-doc shuffle blow-up.
+    # (The pandas-UDF tokenizer remains the semantic reference; differential
+    # equality is asserted in tests/test_arrow_tokenize.py.)  Non-default
+    # profiles (e.g. 'code') keep the general pandas-UDF path.
+    repart = docs.repartition(tokenize_parallelism, "doc_id")
+    if tokenizer_profile == "unicode61":
+        tfs = doc_term_freqs(repart, _fts_document())
+    else:
+        tfs = (
+            repart.select("doc_id", F.explode(tok(_fts_document())).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("int").alias("tf"))
         )
+    tfs = tfs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _doclens() -> dict:
+        dl = tfs.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
         dl.write.mode("overwrite").parquet(doclens_path)
         agg = spark.read.parquet(doclens_path).agg(
             F.avg("dl").alias("avgdl"), F.count("*").alias("n")
@@ -360,14 +422,10 @@ def _build(
     m_dl = _stage("doclens", _doclens)
     avgdl = m_dl["avgdl"]
 
-    # -- stage 3: postings (term, doc_id, tf, dl, bucket) --------------------
     def _postings() -> dict:
         doclens = spark.read.parquet(doclens_path)
         post = (
-            docs.select("doc_id", F.explode(tok(_fts_document())).alias("term"))
-            .groupBy("term", "doc_id")
-            .agg(F.count("*").cast("int").alias("tf"))
-            .join(doclens, "doc_id")  # denormalize dl into postings
+            tfs.join(doclens, "doc_id")  # denormalize dl into postings
             .withColumn("bucket", F.pmod(F.hash("term"), F.lit(num_buckets)))
         )
         (
@@ -377,6 +435,7 @@ def _build(
             .partitionBy("bucket")
             .parquet(postings_path)
         )
+        # partition-column-only scan: row counts come from parquet metadata
         per_bucket = {
             str(r["bucket"]): r["cnt"]
             for r in spark.read.parquet(postings_path)
@@ -388,11 +447,11 @@ def _build(
 
     _stage("postings", _postings)
 
-    # -- stage 4: term stats (df per term) -----------------------------------
     def _termstats() -> dict:
-        post = spark.read.parquet(postings_path)
-        stats = post.groupBy("bucket", "term").agg(
-            F.count("*").cast("long").alias("df")
+        stats = (
+            tfs.groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"))
+            .withColumn("bucket", F.pmod(F.hash("term"), F.lit(num_buckets)))
         )
         (
             stats.repartition(num_buckets, "bucket")
@@ -405,6 +464,7 @@ def _build(
         return {"rows": n_terms}
 
     _stage("termstats", _termstats)
+    tfs.unpersist()
 
     manifest = IndexManifest(
         name=name,
