@@ -46,7 +46,11 @@ def main() -> None:
     # BENCH_PARTITIONS pins shuffle/bucket counts so scaling runs compare the
     # SAME job (same tasks) at different parallelism — see BENCH/scaling.py.
     partitions = int(os.environ.get("BENCH_PARTITIONS", str(max(cpus, 16))))
+    phases = set(
+        os.environ.get("BENCH_PHASES", "build,query,surface").split(",")
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    load0 = round(os.getloadavg()[0], 2)
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -99,18 +103,19 @@ def main() -> None:
 
         index = LoadedIndex.open(spark, idx_dir)
 
-        # warm: one query to JIT/plan-cache
-        score_query(index, QUERIES[0], 10, include_content=False).collect()
+        if "query" in phases:
+            # warm: one query to JIT/plan-cache
+            score_query(index, QUERIES[0], 10, include_content=False).collect()
 
-        lat = []
-        for q in QUERIES:
-            t = time.monotonic()
-            score_query(index, q, 10, include_content=False).collect()
-            lat.append(time.monotonic() - t)
-        lat_sorted = sorted(lat)
-        timings["query_p50"] = round(lat_sorted[len(lat) // 2], 3)
-        timings["query_p95"] = round(lat_sorted[max(0, int(len(lat) * 0.95) - 1)], 3)
-        timings["query_total"] = round(sum(lat), 3)
+            lat = []
+            for q in QUERIES:
+                t = time.monotonic()
+                score_query(index, q, 10, include_content=False).collect()
+                lat.append(time.monotonic() - t)
+            lat_sorted = sorted(lat)
+            timings["query_p50"] = round(lat_sorted[len(lat) // 2], 3)
+            timings["query_p95"] = round(lat_sorted[max(0, int(len(lat) * 0.95) - 1)], 3)
+            timings["query_total"] = round(sum(lat), 3)
 
         t = time.monotonic()
         score_query_batch(index, QUERIES, 10).collect()
@@ -119,11 +124,12 @@ def main() -> None:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
     # -- flagship surface queries off the raw sf tables ----------------------
-    for name in ["bm25_topk", "dedup_minhash_pairs", "cosine_topk", "simhash"]:
-        fn = surface.queries()[name]
-        t = time.monotonic()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.monotonic() - t, 3)
+    if "surface" in phases:
+        for name in ["bm25_topk", "dedup_minhash_pairs", "cosine_topk", "simhash"]:
+            fn = surface.queries()[name]
+            t = time.monotonic()
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.monotonic() - t, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -138,6 +144,7 @@ def main() -> None:
                 "files_per_sec": round(files_per_sec, 1),
                 "cpus": cpus,
                 "partitions": partitions,
+                "load_avg_start": load0,
             }
         )
     )

@@ -1,0 +1,121 @@
+"""Block format + WAND engine tests: codec roundtrips (incl. property-based
+random arrays), block construction invariants, and the differential gate —
+plan 2 (blocks + block-max scorer) must equal plan 1 (DataFrame joins) and
+the FTS5 oracle on every reference query."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bm25_index_tool_spark.blocks import (
+    blocks_from_sorted_batch,
+    build_blocks,
+    decode_block,
+    encode_block,
+    varbyte_decode,
+    varbyte_encode,
+)
+from bm25_index_tool_spark.score import score_query
+from bm25_index_tool_spark.wand import wand_search
+from tests.conftest import QUERY_SET
+
+
+def test_varbyte_roundtrip_basic():
+    for arr in [
+        [],
+        [0],
+        [1, 127, 128, 129, 16383, 16384],
+        [2**62, 0, 1],
+        list(range(1000)),
+    ]:
+        a = np.array(arr, dtype=np.uint64)
+        assert list(varbyte_decode(varbyte_encode(a), len(a))) == arr
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300)
+)
+def test_varbyte_roundtrip_property(xs):
+    a = np.array(xs, dtype=np.uint64)
+    out = varbyte_decode(varbyte_encode(a), len(a))
+    assert list(out) == xs
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2**40),
+            st.integers(min_value=1, max_value=10_000),
+            st.integers(min_value=1, max_value=100_000),
+        ),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_block_roundtrip_property(rows):
+    rows = sorted({r[0]: r for r in rows}.values())  # unique sorted doc_ids
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    tfs = np.array([r[1] for r in rows], dtype=np.int64)
+    dls = np.array([r[2] for r in rows], dtype=np.int64)
+    payload = encode_block(ids, tfs, dls)
+    out_ids, out_tfs, out_dls = decode_block(payload, len(ids))
+    assert list(out_ids.astype(np.int64)) == list(ids)
+    assert list(out_tfs.astype(np.int64)) == list(tfs)
+    assert list(out_dls.astype(np.int64)) == list(dls)
+
+
+def test_blocks_from_sorted_batch_metadata():
+    terms = np.array(["a"] * 300 + ["b"] * 5)
+    ids = np.concatenate([np.arange(1, 301), np.arange(10, 15)])
+    tfs = np.concatenate([np.arange(1, 301) % 7 + 1, [9, 1, 1, 1, 1]])
+    dls = np.concatenate([np.full(300, 50), [20, 30, 40, 50, 60]])
+    rb = blocks_from_sorted_batch(terms, ids, tfs, dls, block_size=128)
+    rows = rb.to_pylist()
+    a_blocks = [r for r in rows if r["term"] == "a"]
+    b_blocks = [r for r in rows if r["term"] == "b"]
+    assert [r["n"] for r in a_blocks] == [128, 128, 44]
+    assert a_blocks[0]["doc_id_min"] == 1 and a_blocks[0]["doc_id_max"] == 128
+    assert len(b_blocks) == 1
+    assert b_blocks[0]["max_tf"] == 9 and b_blocks[0]["min_dl"] == 20
+    ids0, tfs0, dls0 = decode_block(a_blocks[0]["payload"], 128)
+    assert list(ids0) == list(range(1, 129))
+
+
+@pytest.fixture(scope="module")
+def blocked_index(spark, small_index):
+    meta = build_blocks(spark, small_index.index_dir, num_shards=4, block_size=16)
+    assert meta["n_blocks"] > 0
+    return small_index
+
+
+@pytest.mark.parametrize("query", [q for q in QUERY_SET])
+def test_wand_matches_plan1_and_oracle(blocked_index, oracle, query):
+    try:
+        plan1 = score_query(blocked_index, query, top_k=10).collect()
+    except ValueError:
+        with pytest.raises(ValueError):
+            wand_search(blocked_index, query, top_k=10)
+        return
+    plan2 = wand_search(blocked_index, query, top_k=10).collect()
+    assert [r["doc_id"] for r in plan2] == [r["doc_id"] for r in plan1], query
+    for a, b in zip(plan1, plan2):
+        assert math.isclose(a["score"], b["score"], rel_tol=1e-9), query
+        assert a["content_sha256"] == b["content_sha256"]
+    expected = oracle.search_bm25(query, top_k=10)
+    assert [r["doc_id"] for r in plan2] == [e[0] for e in expected]
+    for e, g in zip(expected, plan2):
+        assert math.isclose(e[4], g["score"], rel_tol=1e-9)
+
+
+def test_wand_large_topk(blocked_index, oracle):
+    q = "data value"
+    expected = oracle.search_bm25(q, top_k=500)
+    got = wand_search(blocked_index, q, top_k=500).collect()
+    assert [r["doc_id"] for r in got] == [e[0] for e in expected]
