@@ -26,17 +26,35 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_LOW, N_HIGH = 8, 32
 PARTITIONS = 64  # pinned: same tasks at both levels
-REPLICATION = int(os.environ.get("BENCH_REPLICATION", "64"))
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "256"))
+BODY_X = int(os.environ.get("BENCH_BODY_X", "8"))
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
 
 
+LOAD_GATE = float(os.environ.get("SCALING_LOAD_GATE", "4.0"))
+LOAD_WAIT_SEC = int(os.environ.get("SCALING_LOAD_WAIT", "600"))
+
+
+def wait_for_quiet() -> float:
+    """The sandbox host is shared; wait (bounded) for ambient load to drop
+    below the gate so the measurement reflects our job, not a neighbor's."""
+    deadline = time.monotonic() + LOAD_WAIT_SEC
+    while True:
+        load = os.getloadavg()[0]
+        if load < LOAD_GATE or time.monotonic() > deadline:
+            return load
+        time.sleep(15)
+
+
 def run_bench(cpus: int) -> dict:
+    wait_for_quiet()
     env = dict(os.environ)
     env.update(
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_PARTITIONS=str(PARTITIONS),
         BENCH_REPLICATION=str(REPLICATION),
         BENCH_PHASES="build,query",
+        BENCH_BODY_X=str(BODY_X),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -43,6 +43,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replication = int(os.environ.get("BENCH_REPLICATION", "8"))
+    body_x = int(os.environ.get("BENCH_BODY_X", "1"))
     # BENCH_PARTITIONS pins shuffle/bucket counts so scaling runs compare the
     # SAME job (same tasks) at different parallelism — see BENCH/scaling.py.
     partitions = int(os.environ.get("BENCH_PARTITIONS", str(max(cpus, 16))))
@@ -85,7 +86,11 @@ def main() -> None:
             ).alias("path"),
             F.md5(F.concat(F.col("source"), F.col("doc_id").cast("string"))).alias("commit"),
             "lang",
-            F.col("text").alias("content"),
+            (
+                F.concat_ws(" ", *([F.col("text")] * body_x))
+                if body_x > 1
+                else F.col("text")
+            ).alias("content"),
         )
     )
     n_files = corpus.count()
@@ -145,6 +150,7 @@ def main() -> None:
                 "cpus": cpus,
                 "partitions": partitions,
                 "load_avg_start": load0,
+                "body_x": body_x,
             }
         )
     )

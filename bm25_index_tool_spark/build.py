@@ -134,17 +134,26 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
     """Deterministic contiguous ``doc_id`` (1-based, FTS5-rowid-like) without
     a driver bottleneck or an extra shuffle:
 
-    1. range-partition on the order key + sort within partitions (global
-       order across ordered partitions),
-    2. ``localCheckpoint`` the sorted data so the two passes below don't
-       recompute the (possibly expensive) input lineage — on a real cluster
-       a staging-parquet write serves the same purpose fault-tolerantly,
-    3. collect per-partition row COUNTS only (tiny), prefix-sum to offsets,
+    1. project the NARROW key columns (repo, path + derived sort helpers) —
+       content bytes never enter the range shuffle or the Arrow sockets,
+    2. range-partition + sort within partitions (global order across
+       ordered partitions); ``localCheckpoint`` the (tiny) sorted keys —
+       on a real cluster a staging-parquet write serves the same purpose
+       fault-tolerantly,
+    3. collect per-partition row COUNTS only, prefix-sum to offsets,
     4. assign ``doc_id = offset[pid] + position`` with a vectorized
-       ``mapInPandas`` (Arrow; preserves the sorted in-partition order;
-       no window function → no second shuffle on pid).
+       ``mapInArrow`` (preserves the sorted order; no window function →
+       no second shuffle),
+    5. hash-join (repo, path, doc_id, derived cols) back to the full corpus
+       — a plain JVM shuffle join that scales with cores/executors.
     """
-    df = with_derived_columns(corpus)
+    keys = _narrow_ids(
+        with_derived_columns(corpus.select("repo", "path")), num_partitions
+    )
+    return corpus.join(keys, ["repo", "path"])
+
+
+def _narrow_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     cols = _order_cols()
     if num_partitions:
         df = df.repartitionByRange(num_partitions, *cols)
