@@ -105,6 +105,14 @@ def main() -> None:
         build_sec = time.monotonic() - t0
         timings["index_build"] = round(build_sec, 3)
         files_per_sec = n_files / build_sec
+        # per-stage durations from the build's own lineage checkpoints
+        import glob as _glob
+        import json as _json
+        for ckpt in sorted(_glob.glob(f"{idx_dir}/_checkpoints/stage_*.json")):
+            with open(ckpt) as fh:
+                j = _json.load(fh)
+            stage = j.get("stage", os.path.basename(ckpt))
+            timings[f"build_stage_{stage}"] = j.get("duration_sec", 0.0)
 
         index = LoadedIndex.open(spark, idx_dir)
 

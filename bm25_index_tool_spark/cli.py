@@ -1,0 +1,161 @@
+"""CLI — the reference tool's command surface over Spark
+(reference ``commands/*``: create, query, batch, update, stats, list,
+delete, related).  argparse, stdlib only.
+
+    python -m bm25_index_tool_spark.cli create myidx --corpus corpus.parquet
+    python -m bm25_index_tool_spark.cli query myidx "kubernetes networking" -n 5
+    python -m bm25_index_tool_spark.cli batch myidx -i queries.txt
+    python -m bm25_index_tool_spark.cli query a b c "shared terms" --merge rrf
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark(cpus: str | None = None):
+    from pyspark.sql import SparkSession
+
+    master = f"local[{cpus}]" if cpus else os.environ.get("SPARK_MASTER", "local[*]")
+    return (
+        SparkSession.builder.master(master)
+        .appName("bm25-index-tool-spark")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _client(args):
+    from bm25_index_tool_spark.client import BM25SparkClient
+
+    spark = _spark(getattr(args, "cpus", None))
+    spark.sparkContext.setLogLevel("ERROR")
+    return BM25SparkClient(spark, args.root)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bm25-index-tool-spark")
+    p.add_argument("--root", default=os.environ.get("BM25_SPARK_ROOT", os.path.expanduser("~/.bm25-spark")))
+    p.add_argument("--cpus", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="build an index from a parquet corpus")
+    c.add_argument("name")
+    c.add_argument("--corpus", required=True, help="parquet with (repo,path,commit,lang,content)")
+    c.add_argument("--profile", default="unicode61", choices=["unicode61", "code"])
+    c.add_argument("--k1", type=float, default=1.2)
+    c.add_argument("--b", type=float, default=0.75)
+    c.add_argument("--buckets", type=int, default=32)
+    c.add_argument("--blocks", action="store_true", help="also build the block engine store")
+    c.add_argument("--overwrite", action="store_true")
+
+    q = sub.add_parser("query", help="search one or more indices")
+    q.add_argument("names", nargs="+", help="index name(s); last arg is the query")
+    q.add_argument("-n", "--top", type=int, default=10)
+    q.add_argument("--merge", default="rrf", choices=["rrf", "union", "intersection", "weighted"])
+    q.add_argument("--format", default="simple", choices=["simple", "json", "table"])
+    q.add_argument("--fragments", "-C", action="store_true")
+    q.add_argument("--path-filter", action="append", default=None)
+    q.add_argument("--exclude-path", action="append", default=None)
+    q.add_argument("--engine", default="join", choices=["join", "blocks"])
+    q.add_argument("--related-to", default=None, help="find docs related to this path instead")
+
+    bt = sub.add_parser("batch", help="set-at-a-time batch queries → JSONL")
+    bt.add_argument("name")
+    bt.add_argument("-i", "--input", default="-", help="query file (one per line) or - for stdin")
+    bt.add_argument("-n", "--top", type=int, default=10)
+
+    u = sub.add_parser("update", help="incremental update from a fresh corpus parquet")
+    u.add_argument("name")
+    u.add_argument("--corpus", required=True)
+
+    s = sub.add_parser("stats", help="index statistics")
+    s.add_argument("name")
+
+    sub.add_parser("list", help="list indices")
+
+    d = sub.add_parser("delete", help="delete an index")
+    d.add_argument("name")
+
+    h = sub.add_parser("history", help="recent / searched query history")
+    h.add_argument("--search", default=None)
+    h.add_argument("-n", "--top", type=int, default=10)
+
+    args = p.parse_args(argv)
+
+    import json
+
+    from bm25_index_tool_spark import formatters as FMT
+
+    client = _client(args)
+
+    if args.cmd == "create":
+        from bm25_index_tool_spark.build import BM25Params
+
+        corpus = client.spark.read.parquet(args.corpus)
+        m = client.create_index(
+            args.name,
+            corpus,
+            tokenizer_profile=args.profile,
+            params=BM25Params(k1=args.k1, b=args.b),
+            num_buckets=args.buckets,
+            overwrite=args.overwrite,
+            build_block_engine=args.blocks,
+        )
+        print(f"Created index '{args.name}': {m.num_docs} docs, avgdl {m.avgdl:.2f}")
+    elif args.cmd == "query":
+        *names, query = args.names
+        if not names:
+            p.error("usage: query <index...> <query>")
+        if args.related_to:
+            results = client.search_related(names[0], args.related_to, args.top)
+        elif len(names) == 1:
+            results = client.search(
+                names[0],
+                query,
+                args.top,
+                fragments=args.fragments,
+                path_filter=args.path_filter,
+                exclude_path=args.exclude_path,
+                engine=args.engine,
+            )
+        else:
+            results = client.search_multi(
+                names, query, args.top, merge_strategy=args.merge
+            )
+        print(FMT.FORMATTERS[args.format](results, query))
+    elif args.cmd == "batch":
+        src = sys.stdin if args.input == "-" else open(args.input)
+        queries = [ln.strip() for ln in src if ln.strip()]
+        rows = [r.asDict() for r in client.batch_search(args.name, queries, args.top).collect()]
+        print(FMT.format_batch_jsonl(rows, queries))
+    elif args.cmd == "update":
+        corpus = client.spark.read.parquet(args.corpus)
+        m = client.update_index(args.name, corpus)
+        print(f"Updated '{args.name}': now {m.num_docs} docs")
+    elif args.cmd == "stats":
+        print(json.dumps(client.stats(args.name), indent=2))
+    elif args.cmd == "list":
+        for info in client.list_indices():
+            print(f"{info['name']}: {info['file_count']} docs (created {info['created_at']})")
+    elif args.cmd == "delete":
+        client.delete_index(args.name)
+        print(f"Deleted '{args.name}'")
+    elif args.cmd == "history":
+        rows = (
+            client.history.search(args.search, args.top)
+            if args.search
+            else client.history.recent(args.top)
+        )
+        for r in rows:
+            print(f"{r['timestamp']}  {r['query']!r}  ({r['result_count']} results, {r['elapsed_seconds']:.2f}s)")
+    client.spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -13,7 +13,7 @@ import shutil
 import time
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from bm25_index_tool_spark import build as B
 from bm25_index_tool_spark import fusion
@@ -82,6 +82,7 @@ class BM25SparkClient:
         params: B.BM25Params | None = None,
         num_buckets: int = B.DEFAULT_NUM_BUCKETS,
         overwrite: bool = False,
+        build_block_engine: bool = False,
     ) -> B.IndexManifest:
         reg = self._read_registry()
         if name in reg and not overwrite:
@@ -95,6 +96,10 @@ class BM25SparkClient:
             params=params,
             num_buckets=num_buckets,
         )
+        if build_block_engine:
+            from bm25_index_tool_spark.blocks import build_blocks
+
+            build_blocks(self.spark, self._index_dir(name))
         reg[name] = {
             "name": name,
             "created_at": manifest.created_at,
@@ -171,14 +176,18 @@ class BM25SparkClient:
         path_filter: list[str] | None = None,
         exclude_path: list[str] | None = None,
         use_cache: bool = True,
+        engine: str = "join",
     ) -> list[dict[str, Any]]:
         """Single-index search returning result dicts (reference
         ``BM25Client.search`` shape: path, name, score[, content,
         fragments]).  Cache is bypassed when fragments or path filters are
-        active — reference ``api.py:277`` behavior."""
+        active — reference ``api.py:277`` behavior.
+
+        ``engine``: 'join' (plan 1, default) or 'blocks' (block-max WAND
+        over the compressed block store; requires build_block_engine)."""
         pf = PathFilter(path_filter or [], exclude_path or [])
         cacheable = use_cache and not fragments and pf.is_empty()
-        key = SearchCache.make_key([name], query, top_k)
+        key = SearchCache.make_key([name], query, top_k, {"engine": engine})
         if cacheable:
             hit = self.cache.get(key)
             if hit is not None:
@@ -187,9 +196,19 @@ class BM25SparkClient:
         t0 = time.monotonic()
         idx = self._require(name)
         need_content = include_content or fragments
-        rows = score_query(
-            idx, query, top_k, include_content=need_content
-        ).collect()
+        if engine == "blocks":
+            from bm25_index_tool_spark.wand import wand_search
+
+            base = wand_search(idx, query, top_k)
+            if need_content:
+                base = base.join(
+                    idx.docs().select("doc_id", "content"), "doc_id"
+                ).orderBy(F.desc("score"), F.asc("doc_id"))
+            rows = base.collect()
+        else:
+            rows = score_query(
+                idx, query, top_k, include_content=need_content
+            ).collect()
         results = []
         for r in rows:
             d: dict[str, Any] = {

@@ -1,0 +1,75 @@
+"""Result formatters (SURVEY.md §2.1 S6) — mirror of the reference's
+simple/json output modes (reference ``core/formatters.py:40-241``; the
+`rich` table mode is rendered as aligned plain text here, no third-party
+dependency).  Batch results emit JSONL like the reference's batch command.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+CONTENT_TRUNCATE = 500
+
+
+def format_simple(results: list[dict[str, Any]], query: str = "") -> str:
+    if not results:
+        return "No results found."
+    lines = []
+    for i, r in enumerate(results, start=1):
+        lines.append(f"{i}. {r['path']}  (score: {r['score']:.4f})")
+        for frag in r.get("fragments", []) or []:
+            lines.append(
+                f"   L{frag['line_start']}-{frag['line_end']}: "
+                + " / ".join(frag["lines"][:2])
+            )
+    return "\n".join(lines)
+
+
+def format_json(results: list[dict[str, Any]], query: str = "") -> str:
+    out = []
+    for r in results:
+        d = dict(r)
+        content = d.get("content")
+        if content is not None and len(content) > CONTENT_TRUNCATE:
+            # reference json formatter marks truncation instead of appending
+            # "..." (core/formatters.py:147-154)
+            d["content"] = content[:CONTENT_TRUNCATE]
+            d["content_truncated"] = True
+        out.append(d)
+    return json.dumps({"query": query, "results": out}, indent=2)
+
+
+def format_table(results: list[dict[str, Any]], query: str = "") -> str:
+    if not results:
+        return "No results found."
+    wpath = max(len(r["path"]) for r in results)
+    header = f"{'#':>3}  {'path':<{wpath}}  {'score':>10}"
+    rows = [header, "-" * len(header)]
+    for i, r in enumerate(results, start=1):
+        rows.append(f"{i:>3}  {r['path']:<{wpath}}  {r['score']:>10.4f}")
+    return "\n".join(rows)
+
+
+def format_batch_jsonl(
+    batch_rows: list[dict[str, Any]], queries: list[str] | None = None
+) -> str:
+    """One JSON object per query (reference batch JSONL shape).  When the
+    original query list is given, queries with no matches (or that failed
+    to tokenize) still emit a line with empty results — reference behavior
+    (``batch_query.py:90-92`` maps failures to empty results)."""
+    by_query: dict[int, dict] = {}
+    if queries is not None:
+        for qid, q in enumerate(queries):
+            by_query[qid] = {"query_id": qid, "query": q, "results": []}
+    for r in batch_rows:
+        q = by_query.setdefault(
+            r["query_id"], {"query_id": r["query_id"], "query": r.get("query"), "results": []}
+        )
+        q["results"].append(
+            {"doc_id": r["doc_id"], "path": r["path"], "score": r["score"], "rank": r["rank"]}
+        )
+    return "\n".join(json.dumps(by_query[k]) for k in sorted(by_query))
+
+
+FORMATTERS = {"simple": format_simple, "json": format_json, "table": format_table}

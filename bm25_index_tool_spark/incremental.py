@@ -115,7 +115,10 @@ def apply_update(
 
     combined = surviving.unionByName(new_ids)
 
-    return B.rebuild_from_identified(
+    import os as _os
+
+    had_blocks = _os.path.exists(_os.path.join(index_dir, B.BLOCKS_DIR))
+    new_manifest = B.rebuild_from_identified(
         spark,
         combined,
         index_dir,
@@ -125,3 +128,10 @@ def apply_update(
         num_buckets=num_buckets or manifest.num_buckets,
         source=manifest.source,
     )
+    if had_blocks:
+        # the block engine store derives from postings — rebuild it so
+        # engine='blocks' keeps working after an incremental update
+        from bm25_index_tool_spark.blocks import build_blocks
+
+        build_blocks(spark, index_dir)
+    return new_manifest

@@ -314,6 +314,134 @@ FROM ranked GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id LIMIT 20"""
 
 
+def q_union_fusion(spark, sf_dir):
+    """F3: union merge — dedupe by doc keeping max score, top-20."""
+    docs = _docs(spark, sf_dir)
+    a = _bm25_scored(docs, RRF_LIST_A)
+    b = _bm25_scored(docs, RRF_LIST_B)
+    return (
+        a.unionByName(b)
+        .groupBy("doc_id")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_union_fusion() -> str:
+    return f"""
+WITH la AS ({_sql_bm25(RRF_LIST_A)}), lb AS ({_sql_bm25(RRF_LIST_B)}),
+u AS (SELECT * FROM la UNION ALL SELECT * FROM lb)
+SELECT doc_id, max(score) AS score FROM u GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
+def q_intersection_fusion(spark, sf_dir):
+    """F4: intersection merge — docs in BOTH lists, mean score."""
+    docs = _docs(spark, sf_dir)
+    a = _bm25_scored(docs, RRF_LIST_A).withColumn("list_idx", F.lit(0))
+    b = _bm25_scored(docs, RRF_LIST_B).withColumn("list_idx", F.lit(1))
+    return (
+        a.unionByName(b)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("score"), 9).alias("score"),
+            F.count_distinct("list_idx").alias("_n"),
+        )
+        .where(F.col("_n") == 2)
+        .select("doc_id", "score")
+    )
+
+
+def _sql_intersection_fusion() -> str:
+    return f"""
+WITH la AS ({_sql_bm25(RRF_LIST_A)}), lb AS ({_sql_bm25(RRF_LIST_B)}),
+u AS (
+  SELECT doc_id, score, 0 AS list_idx FROM la
+  UNION ALL
+  SELECT doc_id, score, 1 AS list_idx FROM lb
+)
+SELECT doc_id, round(avg(score), 9) AS score
+FROM u GROUP BY doc_id HAVING count(DISTINCT list_idx) = 2"""
+
+
+def q_weighted_fusion(spark, sf_dir):
+    """F5: per-list min-max normalize × weight (2.0 / 1.0), sum per doc."""
+    docs = _docs(spark, sf_dir)
+    a = _bm25_scored(docs, RRF_LIST_A).withColumn("w", F.lit(2.0))
+    b = _bm25_scored(docs, RRF_LIST_B).withColumn("w", F.lit(1.0))
+    both = a.withColumn("list_idx", F.lit(0)).unionByName(
+        b.withColumn("list_idx", F.lit(1))
+    )
+    wl = Window.partitionBy("list_idx")
+    norm = (
+        both.withColumn("_min", F.min("score").over(wl))
+        .withColumn("_max", F.max("score").over(wl))
+        .withColumn(
+            "_norm",
+            F.when(
+                F.col("_max") > F.col("_min"),
+                (F.col("score") - F.col("_min")) / (F.col("_max") - F.col("_min")),
+            ).otherwise(F.lit(1.0)),
+        )
+    )
+    return (
+        norm.groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("_norm") * F.col("w")), 9).alias("weighted_score"))
+        .orderBy(F.desc("weighted_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_weighted_fusion() -> str:
+    return f"""
+WITH la AS ({_sql_bm25(RRF_LIST_A)}), lb AS ({_sql_bm25(RRF_LIST_B)}),
+u AS (
+  SELECT doc_id, score, 0 AS list_idx, 2.0 AS w FROM la
+  UNION ALL
+  SELECT doc_id, score, 1 AS list_idx, 1.0 AS w FROM lb
+),
+norm AS (
+  SELECT doc_id, w, list_idx,
+    min(score) OVER (PARTITION BY list_idx) AS _min,
+    max(score) OVER (PARTITION BY list_idx) AS _max,
+    score
+  FROM u
+)
+SELECT doc_id,
+  round(sum((CASE WHEN _max > _min THEN (score - _min) / (_max - _min) ELSE 1.0 END) * w), 9) AS weighted_score
+FROM norm GROUP BY doc_id
+ORDER BY weighted_score DESC, doc_id LIMIT 20"""
+
+
+def q_point_lookup(spark, sf_dir):
+    """J4: point lookup by key (predicate pushdown to the parquet scan)."""
+    return _docs(spark, sf_dir).where(F.col("doc_id") == 42).select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+SQL_POINT_LOOKUP = """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id = 42"""
+
+
+def q_filter_like(spark, sf_dir):
+    """P5-style substring filter + order + limit."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("text").contains("vector"))
+        .select("doc_id", "lang")
+        .orderBy(F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+SQL_FILTER_LIKE = """
+SELECT doc_id, lang FROM documents
+WHERE text LIKE '%vector%' ORDER BY doc_id LIMIT 50"""
+
+
 # -- corpus statistics / aggregates (A1-A8, I2) ------------------------------
 
 
@@ -868,6 +996,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_all_matches": q_bm25_all_matches,
         "bm25_batch": q_bm25_batch,
         "rrf_fusion": q_rrf_fusion,
+        "union_fusion": q_union_fusion,
+        "intersection_fusion": q_intersection_fusion,
+        "weighted_fusion": q_weighted_fusion,
+        "point_lookup": q_point_lookup,
+        "filter_like": q_filter_like,
         "corpus_stats": q_corpus_stats,
         "doc_lengths": q_doc_lengths,
         "term_df_top50": q_term_df_top50,
@@ -896,6 +1029,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_all_matches": SQL_BM25_ALL,
         "bm25_batch": _sql_batch(),
         "rrf_fusion": _sql_rrf(),
+        "union_fusion": _sql_union_fusion(),
+        "intersection_fusion": _sql_intersection_fusion(),
+        "weighted_fusion": _sql_weighted_fusion(),
+        "point_lookup": SQL_POINT_LOOKUP,
+        "filter_like": SQL_FILTER_LIKE,
         "corpus_stats": SQL_CORPUS_STATS,
         "doc_lengths": SQL_DOC_LENGTHS,
         "term_df_top50": SQL_TERM_DF_TOP50,

@@ -183,6 +183,11 @@ def wand_search(index: LoadedIndex, query: str, top_k: int = 10):
     weights = {t: counts[t] * _idf(n_docs, dfs[t]) for t in counts}
 
     blocks_path = os.path.join(index.index_dir, B.BLOCKS_DIR)
+    if not os.path.exists(blocks_path):
+        raise ValueError(
+            f"Block engine store not built for index at {index.index_dir}; "
+            "run blocks.build_blocks (or create_index(build_block_engine=True))"
+        )
     blocks = spark.read.parquet(blocks_path).where(
         F.col("term").isin(list(counts))
     )
