@@ -147,9 +147,14 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
     5. hash-join (repo, path, doc_id, derived cols) back to the full corpus
        — a plain JVM shuffle join that scales with cores/executors.
     """
-    keys = _narrow_ids(
+    keys, total = _narrow_ids(
         with_derived_columns(corpus.select("repo", "path")), num_partitions
     )
+    # The ids table is narrow (repo, path, doc_id); broadcast it while it
+    # fits so the full-width corpus (content!) never shuffles.  Past the
+    # threshold a plain shuffle join takes over — the 10^12-file regime.
+    if total <= 5_000_000:
+        keys = F.broadcast(keys)
     return corpus.join(keys, ["repo", "path"])
 
 
@@ -205,7 +210,9 @@ def _narrow_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
                 arrays + [ids], names=keep_names + ["doc_id"]
             )
 
-    return df.mapInArrow(_assign, out_schema).select(*out_cols)
+    return df.mapInArrow(_assign, out_schema).select(*out_cols), sum(
+        counts.values()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -372,6 +379,11 @@ def _build(
             ids = with_derived_columns(corpus).drop("_dirname", "_natint")
         else:
             ids = assign_doc_ids(corpus, num_partitions)
+        # defensive: a low-split source (tiny parquet, driver-created DF)
+        # would serialize the hash/write work below into a handful of tasks
+        target_p = num_partitions or spark.sparkContext.defaultParallelism
+        if ids.rdd.getNumPartitions() < target_p:
+            ids = ids.repartition(target_p, "doc_id")
         out = (
             ids.withColumn("content_sha256", F.sha2(F.col("content"), 256))
             .withColumn("content_md5", F.md5(F.col("content")))
