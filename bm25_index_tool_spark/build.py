@@ -390,9 +390,13 @@ def _build(
             .withColumn("size", F.length("content").cast("long"))
             .withColumn("indexed_at", F.current_timestamp())
         )
+        # Observation: row count rides along with the write — no read-back job
+        from pyspark.sql import Observation
+
+        obs = Observation("docs_metrics")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
         out.write.mode("overwrite").parquet(docs_path)
-        n = spark.read.parquet(docs_path).count()
-        return {"rows": n}
+        return {"rows": obs.get["rows"]}
 
     m_docs = _stage("docs", _docs)
     num_docs = m_docs["rows"]
@@ -433,12 +437,16 @@ def _build(
     tfs = tfs.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _doclens() -> dict:
+        from pyspark.sql import Observation
+
         dl = tfs.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
+        obs = Observation("doclens_metrics")
+        dl = dl.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        )
         dl.write.mode("overwrite").parquet(doclens_path)
-        agg = spark.read.parquet(doclens_path).agg(
-            F.avg("dl").alias("avgdl"), F.count("*").alias("n")
-        ).collect()[0]
-        return {"rows": agg["n"], "avgdl": float(agg["avgdl"] or 0.0)}
+        got = obs.get
+        return {"rows": got["n"], "avgdl": float(got["avgdl"] or 0.0)}
 
     m_dl = _stage("doclens", _doclens)
     avgdl = m_dl["avgdl"]
@@ -457,6 +465,7 @@ def _build(
             .parquet(postings_path)
         )
         # partition-column-only scan: row counts come from parquet metadata
+        # (per-bucket lineage needs a group-by, which Observation can't do)
         per_bucket = {
             str(r["bucket"]): r["cnt"]
             for r in spark.read.parquet(postings_path)
@@ -474,15 +483,18 @@ def _build(
             .agg(F.count("*").cast("long").alias("df"))
             .withColumn("bucket", F.pmod(F.hash("term"), F.lit(num_buckets)))
         )
+        from pyspark.sql import Observation
+
+        obs = Observation("termstats_metrics")
         (
             stats.repartition(num_buckets, "bucket")
             .sortWithinPartitions("term")
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(termstats_path)
         )
-        n_terms = spark.read.parquet(termstats_path).count()
-        return {"rows": n_terms}
+        return {"rows": obs.get["rows"]}
 
     _stage("termstats", _termstats)
     tfs.unpersist()

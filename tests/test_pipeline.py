@@ -1,0 +1,150 @@
+"""Training-data pipeline op tests: dedup family, similarity search, text
+stats, multimodal plumbing — hand-checkable fixtures with known answers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25_index_tool_spark.pipeline import dedup as DD
+from bm25_index_tool_spark.pipeline import simsearch as SS
+from bm25_index_tool_spark.pipeline import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today"),    # near dup
+        (3, "completely different content about spark and parquet"),
+        (4, "short"),
+        (5, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = DD.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 3
+    assert list(groups[0]["doc_ids"]) == [0, 1, 5]
+
+
+def test_shingles_and_jaccard(docs):
+    sh = DD.shingles(docs, "doc_id", "text", n=3)
+    n0 = sh.where(F.col("id") == 0).count()
+    assert n0 == 7  # 9 tokens → 7 trigrams
+    assert sh.where(F.col("id") == 4).count() == 0  # < n tokens → none
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.3
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 5)] == 1.0 and pairs[(1, 5)] == 1.0
+    # near-dup: shares 6 of 7/8 trigrams → jaccard 6/(7+8-6)=0.666...
+    assert math.isclose(pairs[(0, 2)], 6 / 9, rel_tol=1e-9)
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(
+            docs, "doc_id", "text", shingle_n=3, num_hashes=8, bands=4
+        ).collect()
+    }
+    # identical docs share every band → always candidates
+    assert {(0, 1), (0, 5), (1, 5)} <= pairs
+    # unrelated docs share no shingles → no identical minhash band
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_identical_and_unrelated(docs):
+    fp = {r["id"]: r["simhash"] for r in DD.simhash(docs, "doc_id", "text").collect()}
+    assert fp[0] == fp[1] == fp[5]
+    assert 0 <= fp[0] < 2**16
+    near_dist = bin(fp[0] ^ fp[2]).count("1")
+    far_dist = bin(fp[0] ^ fp[3]).count("1")
+    assert near_dist <= far_dist
+
+
+def test_brute_force_and_lsh_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.8, 0.0, 0.6, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = SS.brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["id"] for r in top] == [0, 1, 4]
+    assert top[0]["cosine"] == 1.0
+    # LSH: query bucket from sign bits; doc 3 (opposite sign) pruned away
+    lsh = SS.lsh_bucketed_topk(emb, [1.0, 0.0, 0.0, 0.0], k=5, bucket_dims=4).collect()
+    ids = [r["id"] for r in lsh]
+    assert 3 not in ids and 0 in ids
+    # embedding near-dup pairs
+    pairs = DD.embedding_cosine_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.99, bucket_dims=4
+    ).collect()
+    assert all(r["cosine"] >= 0.99 for r in pairs)
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(0, "The quick brown fox! It is 42 years old."), (1, ""), (2, "el la los una es")],
+        "doc_id long, text string",
+    )
+    tc = {r["id"]: r for r in TS.token_counts(df, "doc_id", "text").collect()}
+    assert tc[0]["ws_tokens"] == 9
+    assert tc[0]["word_tokens"] == 9
+    assert tc[0]["bpe_tokens"] == 11  # 8 letter-runs + '42' + '!' + '.'
+    assert tc[1]["ws_tokens"] == 0
+
+    q = {r["id"]: r for r in TS.quality_scores(df, "doc_id", "text").collect()}
+    assert q[0]["n_tokens"] == 9 and bool(q[0]["keep"]) is True
+    assert bool(q[1]["keep"]) is False
+
+    lid = {r["id"]: r for r in TS.language_id(df, "doc_id", "text").collect()}
+    assert lid[0]["predicted_lang"] == "en"
+    assert lid[2]["predicted_lang"] == "es"
+    assert lid[1]["predicted_lang"] == "und"
+
+    fps = {r["id"]: r["fingerprint"] for r in TS.fingerprints(df, "doc_id", "text").collect()}
+    assert len(fps[0]) == 16
+    # fingerprint is stable under reformat (case/punct/whitespace)
+    df2 = spark.createDataFrame(
+        [(9, "the   QUICK brown fox?? it is 42 years old")], "doc_id long, text string"
+    )
+    fp2 = TS.fingerprints(df2, "doc_id", "text").collect()[0]["fingerprint"]
+    assert fp2 == fps[0]
+
+
+def test_multimodal_plumbing(spark):
+    from bm25_index_tool_spark.pipeline.multimodal import (
+        decode_image_batch,
+        frame_sample_plan,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=30, seed=7)
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(media).collect()
+
+    feats = decode_image_batch(media, deterministic_fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(64 <= r["width"] <= 64 + 1024 for r in rows)
+    assert all(r["n_frames"] == 1 for r in rows if r["kind"] == "image")
+    # deterministic: same payload → same features
+    rows2 = decode_image_batch(media, deterministic_fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+    plan = frame_sample_plan(feats, every_n=30).collect()
+    assert all(r["sample_frames"][0] == 0 for r in plan)
