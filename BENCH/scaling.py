@@ -94,9 +94,26 @@ def run_bench(cpus: int) -> dict:
 
 def main() -> None:
     t0 = time.strftime("%Y-%m-%dT%H:%M:%S")
+    wait_for_quiet()  # the microbench needs a quiet window too
     bandwidth = measure_bandwidth()
     levels = sorted({c for lo, hi, _ in PAIRS for c in (lo, hi)})
     runs: dict[int, list[dict]] = {c: [] for c in levels}
+    # accumulate across invocations: best-of-all-rounds under ambient noise
+    prev_path = os.path.join(REPO, "BENCH", "scaling_results.json")
+    if os.path.exists(prev_path) and os.environ.get("SCALING_FRESH") != "1":
+        try:
+            with open(prev_path) as fh:
+                prev = json.load(fh)
+            for k, v in prev.get("all_runs", {}).items():
+                if int(k) in runs:
+                    runs[int(k)].extend(v)
+            bw_prev = prev.get("bandwidth_GBps_by_procs", {})
+            # keep the higher (less contended) bandwidth observation
+            for k in bandwidth:
+                if k in bw_prev:
+                    bandwidth[k] = max(bandwidth[k], bw_prev[k])
+        except Exception:
+            pass
     for rnd in range(ROUNDS):
         for cpus in levels:
             r = run_bench(cpus)
@@ -139,7 +156,8 @@ def main() -> None:
         "protocol": (
             f"same job, same input ({runs[levels[0]][0]['n_files_built']} files, "
             f"{PARTITIONS} partitions); levels {levels}; best of {ROUNDS} "
-            "interleaved load-gated rounds (shared host)"
+            "interleaved load-gated rounds, accumulated across invocations "
+            "(shared host)"
         ),
         "bandwidth_GBps_by_procs": bandwidth,
         "pairs": pair_metrics,
@@ -155,6 +173,7 @@ def main() -> None:
         "# BENCH/BASELINE.md — measured numbers & scaling efficiency",
         "",
         f"Generated {t0} by `python BENCH/scaling.py`.  Protocol: {results['protocol']}.",
+        f"Total accumulated runs per level: " + ", ".join(f"local[{c}]={len(runs[c])}" for c in levels) + ".",
         "Each run is a fresh subprocess (fresh JVM); per-run 1-min load averages and",
         "CPU-steal%% are in scaling_results.json.",
         "",

@@ -105,8 +105,11 @@ def _shard_topk(tbl, weights: dict, k1: float, b: float, avgdl: float, top_k: in
             ub_total += float(pt["ub"][sel].max())
         if dead:
             continue
-        # block-max pruning: skip undecoded if bound can't beat kth score
-        if top_ids.size >= top_k and ub_total <= theta:
+        # block-max pruning: skip undecoded only if the bound is STRICTLY
+        # below the kth score — at ub == theta a candidate could still tie
+        # and win on doc_id (blocks are not globally doc-ordered when a read
+        # partition spans shards), so equal-bound blocks must be decoded
+        if top_ids.size >= top_k and ub_total < theta:
             continue
 
         cand_ids, cand_tfs, cand_dls = decode(driver_term, bi)

@@ -127,6 +127,30 @@ def test_search_multi_and_cache_and_history(spark, client):
     assert any("apple" in r["query"] for r in found)
 
 
+def test_client_block_engine(spark, client):
+    rows = C.generate_rows(40, seed=21)
+    client.create_index(
+        "blk",
+        spark.createDataFrame(rows, C.CORPUS_SCHEMA),
+        num_buckets=4,
+        build_block_engine=True,
+    )
+    join_res = client.search("blk", "data value", top_k=5, use_cache=False)
+    blk_res = client.search(
+        "blk", "data value", top_k=5, use_cache=False, engine="blocks"
+    )
+    assert [r["path"] for r in join_res] == [r["path"] for r in blk_res]
+    for a, b in zip(join_res, blk_res):
+        assert math.isclose(a["score"], b["score"], rel_tol=1e-9)
+    # update keeps the block engine usable (store rebuilt)
+    client.update_index("blk", spark.createDataFrame(rows[:35], C.CORPUS_SCHEMA))
+    after = client.search(
+        "blk", "data value", top_k=5, use_cache=False, engine="blocks"
+    )
+    assert len(after) > 0
+    client.delete_index("blk")
+
+
 def test_path_filter_post_topk(client):
     """Include/exclude globs applied after top-k can shrink results below k."""
     res = client.search("m0", "data", top_k=10, use_cache=False)
