@@ -86,14 +86,18 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # -- corpus: sf documents replicated with distinct paths -----------------
-    # repartition BEFORE the crossJoin: the 5000-row parquet is one split,
-    # and whatever partitioning enters the crossJoin is where the 3GB of
-    # generated content gets materialized — after it, generation would be
-    # one serial task poisoning every downstream job at any core count
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(partitions)
-    reps = spark.range(replication).select(F.col("id").alias("rep"))
+    # Shuffle-free replication: spark.range gives exactly `partitions`
+    # evenly-sized splits (no AQE coalescing to defeat the parallelism, no
+    # shuffle), the 5000-row base table is broadcast, and the 3GB of
+    # generated content materializes wherever it is consumed with full
+    # parallelism at any core count.  Row count is arithmetic — no job.
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_base = base.count()
     corpus = (
-        docs.crossJoin(F.broadcast(reps))
+        spark.range(0, n_base * replication, 1, partitions)
+        .withColumn("doc_id", F.col("id") % n_base)
+        .withColumn("rep", (F.col("id") / n_base).cast("long"))
+        .join(F.broadcast(base), "doc_id")
         .select(
             F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string"), F.lit("/"), F.col("source")).alias("repo"),
             F.concat(
@@ -109,7 +113,7 @@ def main() -> None:
             ).alias("content"),
         )
     )
-    n_files = corpus.count()
+    n_files = n_base * replication
 
     # index store on tmpfs: in production the index lands on S3/HDFS whose
     # bandwidth scales with the cluster; the sandbox's single shared virtio
@@ -141,6 +145,7 @@ def main() -> None:
             score_query(index, QUERIES[0], 10, include_content=False).collect()
 
             lat = []
+
             for q in QUERIES:
                 t = time.monotonic()
                 score_query(index, q, 10, include_content=False).collect()
@@ -153,6 +158,19 @@ def main() -> None:
         t = time.monotonic()
         score_query_batch(index, QUERIES, 10).collect()
         timings["batch_queries"] = round(time.monotonic() - t, 3)
+
+        if "query" in phases:
+            # warm path: postings/termstats pinned in executor cache
+            index.preload()
+            warm = []
+            for q in QUERIES:
+                t = time.monotonic()
+                score_query(index, q, 10, include_content=False).collect()
+                warm.append(time.monotonic() - t)
+            ws = sorted(warm)
+            timings["query_warm_p50"] = round(ws[len(ws) // 2], 3)
+            timings["query_warm_p95"] = round(ws[max(0, int(len(ws) * 0.95) - 1)], 3)
+            index.unload()
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

@@ -164,12 +164,17 @@ def _narrow_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
         df = df.repartitionByRange(num_partitions, *cols)
     else:
         df = df.repartitionByRange(*cols)
+    from pyspark import StorageLevel
+
     df = (
         df.sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
         .drop("_dirname", "_natint")
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # the counts aggregation doubles as the cache materialization — one job,
+    # not checkpoint + count.  (Partition placement stays deterministic under
+    # recompute: the range shuffle's map output is reused, not resampled.)
     counts = {
         r["_pid"]: r["cnt"]
         for r in df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

@@ -46,29 +46,52 @@ class LoadedIndex:
     manifest: B.IndexManifest
     spark: SparkSession
 
+    _cached: dict | None = None
+
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "LoadedIndex":
         return cls(index_dir=index_dir, manifest=B.load_manifest(index_dir), spark=spark)
 
-    def docs(self) -> DataFrame:
+    def _read(self, sub: str) -> DataFrame:
         import os
 
-        return self.spark.read.parquet(os.path.join(self.index_dir, B.DOCS_DIR))
+        if self._cached is not None and sub in self._cached:
+            return self._cached[sub]
+        return self.spark.read.parquet(os.path.join(self.index_dir, sub))
+
+    def docs(self) -> DataFrame:
+        return self._read(B.DOCS_DIR)
 
     def postings(self) -> DataFrame:
-        import os
-
-        return self.spark.read.parquet(os.path.join(self.index_dir, B.POSTINGS_DIR))
+        return self._read(B.POSTINGS_DIR)
 
     def termstats(self) -> DataFrame:
-        import os
-
-        return self.spark.read.parquet(os.path.join(self.index_dir, B.TERMSTATS_DIR))
+        return self._read(B.TERMSTATS_DIR)
 
     def doclens(self) -> DataFrame:
-        import os
+        return self._read(B.DOCLENS_DIR)
 
-        return self.spark.read.parquet(os.path.join(self.index_dir, B.DOCLENS_DIR))
+    def preload(self, include_docs: bool = False) -> "LoadedIndex":
+        """Pin postings/termstats (optionally docs) in executor cache — the
+        warm-query path (reference's in-process index stays resident; here
+        the analogue is Spark's columnar cache).  Repeated queries skip the
+        parquet scan entirely."""
+        self._cached = {}
+        subs = [B.POSTINGS_DIR, B.TERMSTATS_DIR] + (
+            [B.DOCS_DIR] if include_docs else []
+        )
+        for sub in subs:
+            import os
+
+            df = self.spark.read.parquet(os.path.join(self.index_dir, sub)).cache()
+            df.count()  # materialize
+            self._cached[sub] = df
+        return self
+
+    def unload(self) -> None:
+        for df in (self._cached or {}).values():
+            df.unpersist()
+        self._cached = None
 
 
 def idf_column(df_col: F.Column, n_docs: int) -> F.Column:
