@@ -171,6 +171,23 @@ def main() -> None:
             timings["query_warm_p50"] = round(ws[len(ws) // 2], 3)
             timings["query_warm_p95"] = round(ws[max(0, int(len(ws) * 0.95) - 1)], 3)
             index.unload()
+
+        if "wand" in phases:
+            from bm25_index_tool_spark.blocks import build_blocks
+            from bm25_index_tool_spark.wand import wand_search
+
+            t = time.monotonic()
+            build_blocks(spark, idx_dir, num_shards=partitions)
+            timings["blocks_build"] = round(time.monotonic() - t, 3)
+            wand_search(index, QUERIES[0], 10).collect()  # warm
+            lat = []
+            for q in QUERIES:
+                t = time.monotonic()
+                wand_search(index, q, 10).collect()
+                lat.append(time.monotonic() - t)
+            ls = sorted(lat)
+            timings["wand_p50"] = round(ls[len(ls) // 2], 3)
+            timings["wand_p95"] = round(ls[max(0, int(len(ls) * 0.95) - 1)], 3)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
