@@ -281,11 +281,29 @@ def build_index(
     resume: bool = False,
     fail_after_stage: str | None = None,
     source: dict | None = None,
+    validate_unique_paths: bool = False,
 ) -> IndexManifest:
     """Build (or resume building) a BM25 index at ``index_dir``.
 
     ``fail_after_stage`` injects a failure for the resume test fixture.
+    ``validate_unique_paths`` raises ValueError when (repo, path) is not
+    unique — the reference enforces path uniqueness via its SQLite UNIQUE
+    constraint (``sqlite_storage.py:183``); here it is an optional check
+    (one extra aggregate) because the common ingestion path guarantees it.
     """
+    if validate_unique_paths:
+        dup = (
+            corpus.groupBy("repo", "path")
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            r = dup[0]
+            raise ValueError(
+                f"Duplicate document path in corpus: {r['repo']}/{r['path']}"
+            )
     return _build(
         spark,
         corpus,
@@ -462,6 +480,11 @@ def _build(
             tfs.join(doclens, "doc_id")  # denormalize dl into postings
             .withColumn("bucket", F.pmod(F.hash("term"), F.lit(num_buckets)))
         )
+        if num_docs == 0:
+            # dynamic partitionBy writes no files for an empty relation,
+            # leaving an unreadable dir — write a schema'd empty parquet
+            post.write.mode("overwrite").parquet(postings_path)
+            return {"rows": 0, "per_bucket_rows": {}}
         (
             post.repartition(num_buckets, "bucket")
             .sortWithinPartitions("term", "doc_id")
@@ -488,6 +511,9 @@ def _build(
             .agg(F.count("*").cast("long").alias("df"))
             .withColumn("bucket", F.pmod(F.hash("term"), F.lit(num_buckets)))
         )
+        if num_docs == 0:
+            stats.write.mode("overwrite").parquet(termstats_path)
+            return {"rows": 0}
         from pyspark.sql import Observation
 
         obs = Observation("termstats_metrics")
