@@ -94,8 +94,11 @@ def run_bench(cpus: int) -> dict:
 
 def main() -> None:
     t0 = time.strftime("%Y-%m-%dT%H:%M:%S")
-    wait_for_quiet()  # the microbench needs a quiet window too
-    bandwidth = measure_bandwidth()
+    if ROUNDS > 0:
+        wait_for_quiet()  # the microbench needs a quiet window too
+        bandwidth = measure_bandwidth()
+    else:
+        bandwidth = {}  # report-only mode: reuse accumulated values
     levels = sorted({c for lo, hi, _ in PAIRS for c in (lo, hi)})
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     # accumulate across invocations: best-of-all-rounds under ambient noise

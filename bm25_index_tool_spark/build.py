@@ -38,6 +38,11 @@ from bm25_index_tool_spark.tokenize import token_count_unicode61, tokenizer_for
 
 INDEX_FORMAT_VERSION = 1
 DEFAULT_NUM_BUCKETS = 32
+import os as _os
+
+BROADCAST_IDS_THRESHOLD = int(
+    _os.environ.get("BM25_BROADCAST_IDS_THRESHOLD", "5000000")
+)
 
 DOCS_DIR = "docs"
 DOCLENS_DIR = "doclens"
@@ -153,7 +158,7 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
     # The ids table is narrow (repo, path, doc_id); broadcast it while it
     # fits so the full-width corpus (content!) never shuffles.  Past the
     # threshold a plain shuffle join takes over — the 10^12-file regime.
-    if total <= 5_000_000:
+    if total <= BROADCAST_IDS_THRESHOLD:
         keys = F.broadcast(keys)
     return corpus.join(keys, ["repo", "path"])
 
