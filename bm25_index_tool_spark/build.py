@@ -45,7 +45,6 @@ BROADCAST_IDS_THRESHOLD = int(
 )
 
 DOCS_DIR = "docs"
-DOCLENS_DIR = "doclens"
 POSTINGS_DIR = "postings"
 TERMSTATS_DIR = "termstats"
 BLOCKS_DIR = "blocks"
@@ -386,7 +385,6 @@ def _build(
     tok = tokenizer_for(tokenizer_profile)
 
     docs_path = os.path.join(index_dir, DOCS_DIR)
-    doclens_path = os.path.join(index_dir, DOCLENS_DIR)
     postings_path = os.path.join(index_dir, POSTINGS_DIR)
     termstats_path = os.path.join(index_dir, TERMSTATS_DIR)
 
@@ -430,11 +428,11 @@ def _build(
     num_docs = m_docs["rows"]
     docs = spark.read.parquet(docs_path)
 
-    # -- stages 2-4: ONE tokenize pass feeds doclens, postings, termstats ----
+    # -- stages 2-3: ONE tokenize pass feeds postings and termstats ----------
     # (term, doc_id, tf) is the source of truth: dl per doc = Σ tf (the FTS
     # document's total token count), df per term = row count.  The persisted
-    # tf relation is reused across the three sinks — the tokenizer (the
-    # dominant CPU cost) runs exactly once over the corpus.
+    # tf relation is reused across both sinks — the tokenizer (the dominant
+    # CPU cost) runs exactly once over the corpus.
     from pyspark import StorageLevel
 
     from bm25_index_tool_spark.arrow_tokenize import doc_term_freqs
@@ -464,39 +462,40 @@ def _build(
         )
     tfs = tfs.persist(StorageLevel.MEMORY_AND_DISK)
 
-    def _doclens() -> dict:
-        from pyspark.sql import Observation
-
-        dl = tfs.groupBy("doc_id").agg(F.sum("tf").cast("int").alias("dl"))
-        obs = Observation("doclens_metrics")
-        dl = dl.observe(
-            obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-        )
-        dl.write.mode("overwrite").parquet(doclens_path)
-        got = obs.get
-        return {"rows": got["n"], "avgdl": float(got["avgdl"] or 0.0)}
-
-    m_dl = _stage("doclens", _doclens)
-    avgdl = m_dl["avgdl"]
-
     def _postings() -> dict:
-        doclens = spark.read.parquet(doclens_path)
+        # dl denormalized via a window sum over doc_id — ONE shuffle, no
+        # separate doclens table write+read (the former doclens stage
+        # dominated low-parallelism builds; VERDICT r01 #5).  avgdl/total
+        # tokens ride along on the write via Observation.
+        from pyspark.sql import Observation
+        from pyspark.sql.window import Window
+
         post = (
-            tfs.join(doclens, "doc_id")  # denormalize dl into postings
+            tfs.withColumn(
+                "dl",
+                F.sum("tf").over(Window.partitionBy("doc_id")).cast("int"),
+            )
             .withColumn("bucket", F.pmod(F.hash("term"), F.lit(num_buckets)))
         )
         if num_docs == 0:
             # dynamic partitionBy writes no files for an empty relation,
             # leaving an unreadable dir — write a schema'd empty parquet
             post.write.mode("overwrite").parquet(postings_path)
-            return {"rows": 0, "per_bucket_rows": {}}
+            return {"rows": 0, "total_tokens": 0, "per_bucket_rows": {}}
+        obs = Observation("postings_metrics")
         (
             post.repartition(num_buckets, "bucket")
             .sortWithinPartitions("term", "doc_id")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("tf").alias("total_tokens"),
+            )
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(postings_path)
         )
+        got = obs.get
         # partition-column-only scan: row counts come from parquet metadata
         # (per-bucket lineage needs a group-by, which Observation can't do)
         per_bucket = {
@@ -506,9 +505,18 @@ def _build(
             .agg(F.count("*").alias("cnt"))
             .collect()
         }
-        return {"rows": sum(per_bucket.values()), "per_bucket_rows": per_bucket}
+        return {
+            "rows": got["rows"],
+            "total_tokens": int(got["total_tokens"] or 0),
+            "per_bucket_rows": per_bucket,
+        }
 
-    _stage("postings", _postings)
+    m_post = _stage("postings", _postings)
+    # FTS5 avgdl = total_tokens / nRow over ALL docs — zero-token documents
+    # count in the denominator (they are rows in the FTS table with dl=0).
+    # A mean over only docs-with-postings would diverge on corpora with
+    # empty or punctuation-only files (ADVICE r01).
+    avgdl = m_post["total_tokens"] / num_docs if num_docs else 0.0
 
     def _termstats() -> dict:
         stats = (

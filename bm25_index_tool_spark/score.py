@@ -69,7 +69,13 @@ class LoadedIndex:
         return self._read(B.TERMSTATS_DIR)
 
     def doclens(self) -> DataFrame:
-        return self._read(B.DOCLENS_DIR)
+        """(doc_id, dl) for docs with ≥1 token — a projection of postings
+        (dl is denormalized there; no separate doclens table exists)."""
+        return (
+            self.postings()
+            .groupBy("doc_id")
+            .agg(F.max("dl").cast("int").alias("dl"))
+        )
 
     def preload(self, include_docs: bool = False) -> "LoadedIndex":
         """Pin postings/termstats (optionally docs) in executor cache — the

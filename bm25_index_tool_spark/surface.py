@@ -49,12 +49,22 @@ def _tok(docs: DataFrame) -> DataFrame:
 
 
 def _corpus_scalars(docs: DataFrame) -> tuple[float, float]:
-    """(N, avgdl) as exact doubles (integer sums divided — engine-identical)."""
-    dl = _tok(docs).groupBy("doc_id").agg(F.count("*").alias("dl"))
-    row = dl.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    """(N, avgdl) as exact doubles (integer sums divided — engine-identical).
+
+    FTS5 semantics: N counts ALL documents and avgdl = total_tokens / N —
+    zero-token docs stay in the denominator (ADVICE r01).  One narrow scan,
+    no explode: dl per doc is the size of the token array.
+    """
+    # explicit long-sum / long-count (not engine AVG accumulation) so the
+    # double division is bit-identical between Spark and DuckDB
+    row = docs.agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.size(DD.tokens_col("text")).cast("long"))
+            / F.count("*")
+        ).alias("avgdl"),
     ).collect()[0]
-    return float(row["n"]), float(row["avgdl"])
+    return float(row["n"]), float(row["avgdl"] or 0.0)
 
 
 def _bm25_scored(docs: DataFrame, terms: list[str]) -> DataFrame:
@@ -95,6 +105,59 @@ def _bm25_scored(docs: DataFrame, terms: list[str]) -> DataFrame:
     return scored
 
 
+def _bm25_scored_multi(
+    spark: SparkSession, docs: DataFrame, term_lists: list[list[str]]
+) -> DataFrame:
+    """(list_idx, doc_id, score) for SEVERAL conjunctive BM25 queries over
+    ONE tokenize pass — the corpus is exploded once, dl aggregated once, tf
+    computed once for the union of query terms (VERDICT r01 #7: the fusion
+    queries previously called ``_bm25_scored`` per list, re-tokenizing the
+    corpus ~6× per fused query).  Scores are numerically identical to the
+    single-list path (same formula, same dtypes, same 6-dp rounding)."""
+    n, avgdl = _corpus_scalars(docs)
+    tok = _tok(docs)
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    qrows = [
+        (i, t, len(set(terms)))
+        for i, terms in enumerate(term_lists)
+        for t in set(terms)
+    ]
+    qterms = spark.createDataFrame(
+        qrows, "list_idx int, term string, n_terms int"
+    )
+    tf = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    raw_idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    dfreq = dfreq.withColumn(
+        "idf", F.when(raw_idf <= 0.0, F.lit(1e-6)).otherwise(raw_idf)
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq.select("term", "idf")), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * (
+                (F.col("tf") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+                )
+            ),
+        )
+        .groupBy("list_idx", "n_terms", "doc_id")
+        .agg(F.sum("partial").alias("_score"), F.count("*").alias("_nt"))
+        .where(F.col("_nt") == F.col("n_terms"))
+        .select("list_idx", "doc_id", F.round("_score", 6).alias("score"))
+    )
+
+
 # SQL prelude builders — DuckDB side (kept textually parallel to the Spark
 # expressions above; N/avgdl are computed in-SQL from the same tokens).
 
@@ -107,8 +170,13 @@ tok AS (
 _SQL_DL = """
 dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id)"""
 
+# N over ALL documents, avgdl = total_tokens / N (zero-token docs count in
+# the denominator — FTS5's nRow semantics, mirrored in _corpus_scalars).
 _SQL_STATS = """
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl)"""
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE) / count(*) AS avgdl
+  FROM documents)"""
 
 
 def _sql_bm25(terms: list[str], extra_select: str = "doc_id, score") -> str:
@@ -184,51 +252,19 @@ SQL_BM25_ALL = _sql_bm25(BM25_ALL_TERMS)
 
 
 def q_bm25_batch(spark, sf_dir):
-    """C3 set-at-a-time: all queries in ONE pass, top-10 each."""
+    """C3 set-at-a-time: all queries in ONE pass, top-10 each.
+
+    BATCH_QUERIES query_ids are 0..n-1 in order, so list_idx == query_id.
+    """
     docs = _docs(spark, sf_dir)
-    n, avgdl = _corpus_scalars(docs)
-    tok = _tok(docs)
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
-    qrows = [
-        (qid, t, len(set(terms))) for qid, terms in BATCH_QUERIES for t in terms
-    ]
-    qterms = spark.createDataFrame(qrows, "query_id int, term string, n_terms int")
-    tf = (
-        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    raw_idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    dfreq = dfreq.withColumn(
-        "idf", F.when(raw_idf <= 0.0, F.lit(1e-6)).otherwise(raw_idf)
-    )
-    scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq.select("term", "idf")), "term")
-        .join(dl, "doc_id")
-        .withColumn(
-            "partial",
-            F.col("idf")
-            * (
-                (F.col("tf") * F.lit(K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(K1)
-                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
-                )
-            ),
-        )
-        .groupBy("query_id", "n_terms", "doc_id")
-        .agg(F.sum("partial").alias("_score"), F.count("*").alias("_nt"))
-        .where(F.col("_nt") == F.col("n_terms"))
-        .select("query_id", "doc_id", F.round("_score", 6).alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    scored = _bm25_scored_multi(spark, docs, [t for _, t in BATCH_QUERIES])
+    w = Window.partitionBy("list_idx").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 10)
-        .select("query_id", "doc_id", "score", "rank")
+        .select(
+            F.col("list_idx").alias("query_id"), "doc_id", "score", "rank"
+        )
     )
 
 
@@ -277,11 +313,7 @@ SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10"""
 def q_rrf_fusion(spark, sf_dir):
     """F2: RRF(k=60) over two ranked BM25 lists (two queries), top-20."""
     docs = _docs(spark, sf_dir)
-    lists = []
-    for i, terms in enumerate([RRF_LIST_A, RRF_LIST_B]):
-        s = _bm25_scored(docs, terms).withColumn("list_idx", F.lit(i))
-        lists.append(s)
-    both = lists[0].unionByName(lists[1])
+    both = _bm25_scored_multi(spark, docs, [RRF_LIST_A, RRF_LIST_B])
     w = Window.partitionBy("list_idx").orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = both.withColumn("rank", F.row_number().over(w))
     fused = (
@@ -317,10 +349,8 @@ ORDER BY rrf_score DESC, doc_id LIMIT 20"""
 def q_union_fusion(spark, sf_dir):
     """F3: union merge — dedupe by doc keeping max score, top-20."""
     docs = _docs(spark, sf_dir)
-    a = _bm25_scored(docs, RRF_LIST_A)
-    b = _bm25_scored(docs, RRF_LIST_B)
     return (
-        a.unionByName(b)
+        _bm25_scored_multi(spark, docs, [RRF_LIST_A, RRF_LIST_B])
         .groupBy("doc_id")
         .agg(F.max("score").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -339,10 +369,8 @@ ORDER BY score DESC, doc_id LIMIT 20"""
 def q_intersection_fusion(spark, sf_dir):
     """F4: intersection merge — docs in BOTH lists, mean score."""
     docs = _docs(spark, sf_dir)
-    a = _bm25_scored(docs, RRF_LIST_A).withColumn("list_idx", F.lit(0))
-    b = _bm25_scored(docs, RRF_LIST_B).withColumn("list_idx", F.lit(1))
     return (
-        a.unionByName(b)
+        _bm25_scored_multi(spark, docs, [RRF_LIST_A, RRF_LIST_B])
         .groupBy("doc_id")
         .agg(
             F.round(F.avg("score"), 9).alias("score"),
@@ -368,10 +396,8 @@ FROM u GROUP BY doc_id HAVING count(DISTINCT list_idx) = 2"""
 def q_weighted_fusion(spark, sf_dir):
     """F5: per-list min-max normalize × weight (2.0 / 1.0), sum per doc."""
     docs = _docs(spark, sf_dir)
-    a = _bm25_scored(docs, RRF_LIST_A).withColumn("w", F.lit(2.0))
-    b = _bm25_scored(docs, RRF_LIST_B).withColumn("w", F.lit(1.0))
-    both = a.withColumn("list_idx", F.lit(0)).unionByName(
-        b.withColumn("list_idx", F.lit(1))
+    both = _bm25_scored_multi(spark, docs, [RRF_LIST_A, RRF_LIST_B]).withColumn(
+        "w", F.when(F.col("list_idx") == 0, F.lit(2.0)).otherwise(F.lit(1.0))
     )
     wl = Window.partitionBy("list_idx")
     norm = (
@@ -446,24 +472,29 @@ WHERE text LIKE '%vector%' ORDER BY doc_id LIMIT 50"""
 
 
 def q_corpus_stats(spark, sf_dir):
+    """A1/A6/I2 scalars in ONE aggregate job (VERDICT r01 #6 flagged the
+    extra driver-side distinct().count()).  explode_outer keeps zero-token
+    docs as a null-term row, so n_docs counts ALL documents and
+    avgdl = total_tokens / n_docs — FTS5's nRow semantics."""
     docs = _docs(spark, sf_dir)
-    tok = _tok(docs)
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n_terms = tok.select("term").distinct().count()
-    return dl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.round(F.avg("dl"), 6).alias("avgdl"),
-        F.lit(n_terms).cast("long").alias("n_distinct_terms"),
+    ex = docs.select(
+        "doc_id", F.explode_outer(DD.tokens_col("text")).alias("term")
+    )
+    return ex.agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.round(
+            F.count("term").cast("double") / F.count_distinct("doc_id"), 6
+        ).alias("avgdl"),
+        F.count_distinct("term").cast("long").alias("n_distinct_terms"),
     )
 
 
 SQL_CORPUS_STATS = f"""
-WITH {_SQL_TOK},
-{_SQL_DL}
-SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       round(avg(dl), 6) AS avgdl,
-       (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tok) AS n_distinct_terms
-FROM dl"""
+WITH {_SQL_TOK}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       round(CAST((SELECT count(*) FROM tok) AS DOUBLE)
+             / (SELECT count(*) FROM documents), 6) AS avgdl,
+       (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tok) AS n_distinct_terms"""
 
 
 def q_doc_lengths(spark, sf_dir):

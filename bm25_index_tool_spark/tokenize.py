@@ -141,17 +141,16 @@ def tokenize_fts5_query(query: str) -> list[str]:
 # T3 — related-terms tokenizer + stopwords (reference core/related.py:19-98)
 # ---------------------------------------------------------------------------
 
-# Stopword set copied semantically from reference core/related.py (80 common
-# English words); used by related-document search and the quality-score op.
+# Stopword set copied VERBATIM from reference core/related.py:19-98 (78
+# words); used by related-document search and the quality-score op.  The
+# exact membership matters: "must"/"shall"/"every" are dropped by the
+# reference, while e.g. "about"/"their"/"them" are kept and can rank.
 STOPWORDS: frozenset[str] = frozenset(
-    """a about after all also an and any are as at be because been before
-    being between both but by can could did do does down during each few for
-    from further had has have having he her here hers him his how i if in
-    into is it its just me more most my no nor not now of off on once only
-    or other our out over own same she should so some such than that the
-    their them then there these they this those through to too under until
-    up very was we were what when where which while who why will with would
-    you your""".split()
+    """a an the and or but in on at to for of with by from as is was are
+    were been be have has had do does did will would could should may might
+    must shall can this that these those i you he she it we they what which
+    who whom when where why how all each every both few more most other some
+    such no nor not only own same so than too very just also""".split()
 )
 
 _RELATED_TOKEN_RE = re.compile(r"\b[a-z][a-z0-9]+\b")

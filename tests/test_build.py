@@ -103,10 +103,10 @@ def test_checkpoint_resume(spark, tmp_path):
     clean = str(tmp_path / "clean")
 
     with pytest.raises(RuntimeError, match="injected failure"):
-        B.build_index(spark, df, broken, num_buckets=4, fail_after_stage="doclens")
+        B.build_index(spark, df, broken, num_buckets=4, fail_after_stage="docs")
 
     ckpt = B.BuildCheckpoints(broken)
-    assert ckpt.is_complete("docs") and ckpt.is_complete("doclens")
+    assert ckpt.is_complete("docs")
     assert not ckpt.is_complete("postings")
     docs_mtime_before = ckpt.read("docs")
 

@@ -52,6 +52,42 @@ def test_rank_identity_large_topk(small_index, oracle):
         assert math.isclose(e[4], g["score"], rel_tol=1e-9)
 
 
+def test_rank_identity_with_zero_token_docs(spark, tmp_path):
+    """FTS5 computes avgdl = total_tokens / nRow over ALL rows — documents
+    that tokenize to zero tokens (punctuation-only path+content) still count
+    in the denominator.  A mean over only docs-with-postings diverges here
+    (ADVICE r01); this corpus forces the difference to show in scores."""
+    from bm25_index_tool_spark import build as B
+    from bm25_index_tool_spark import corpus as C
+    from bm25_index_tool_spark.score import LoadedIndex
+    from tests.oracle import FTS5Oracle
+
+    rows = [
+        ("repo", "a/apple.md", "c1", "md", "apple banana cherry apple"),
+        ("repo", "a/banana.md", "c1", "md", "banana banana apple"),
+        ("repo", "b/cherry.md", "c1", "md", "cherry apple"),
+        # zero-token document: repo/path/filename/content all fold to
+        # nothing under unicode61 (underscore and punctuation = separators)
+        ("_", "__.__", "c1", "md", "!!! ??? ..."),
+        # punctuation-only content — path tokens still index, dl is tiny
+        ("repo", "b/dots.md", "c1", "md", "... --- !!!"),
+    ]
+    df = spark.createDataFrame(rows, C.CORPUS_SCHEMA)
+    idx_dir = str(tmp_path / "idx_empty")
+    m = B.build_index(spark, df, idx_dir, num_buckets=4)
+    assert m.num_docs == 5
+
+    oracle = FTS5Oracle()
+    oracle.add_documents(C.ordered_rows(rows))
+    idx = LoadedIndex.open(spark, idx_dir)
+    for q in ("apple", "banana apple", "cherry", "md"):
+        expected = oracle.search_bm25(q, top_k=10)
+        got = score_query(idx, q, top_k=10).collect()
+        assert [r["doc_id"] for r in got] == [e[0] for e in expected], q
+        for e, g in zip(expected, got):
+            assert math.isclose(e[4], g["score"], rel_tol=1e-9), (q, e, g)
+
+
 def test_empty_query_raises(small_index):
     with pytest.raises(ValueError):
         score_query(small_index, "---", top_k=10)

@@ -90,3 +90,33 @@ def test_related_terms_stopwords_and_length():
     terms = related_terms_local(content, n=3)
     assert terms == ["index", "apple", "banana"]
     assert "the" in STOPWORDS and "an" in STOPWORDS
+
+
+# The reference's stopword set, verbatim (reference core/related.py:19-98).
+# Membership parity is a rank-identity requirement for related-terms (T3)
+# and related-document search (F7): "must"/"shall" must be DROPPED,
+# "about"/"their"/"them"/"while" must be KEPT (and can rank as terms).
+_REFERENCE_STOPWORDS = {
+    "a", "an", "the", "and", "or", "but", "in", "on", "at", "to", "for",
+    "of", "with", "by", "from", "as", "is", "was", "are", "were", "been",
+    "be", "have", "has", "had", "do", "does", "did", "will", "would",
+    "could", "should", "may", "might", "must", "shall", "can", "this",
+    "that", "these", "those", "i", "you", "he", "she", "it", "we", "they",
+    "what", "which", "who", "whom", "when", "where", "why", "how", "all",
+    "each", "every", "both", "few", "more", "most", "other", "some",
+    "such", "no", "nor", "not", "only", "own", "same", "so", "than",
+    "too", "very", "just", "also",
+}
+
+
+def test_stopword_set_matches_reference_verbatim():
+    assert len(_REFERENCE_STOPWORDS) == 78
+    assert set(STOPWORDS) == _REFERENCE_STOPWORDS
+
+
+def test_related_terms_reference_membership_semantics():
+    # "must"/"shall" are stopwords in the reference — never rank.
+    # "about"/"their" are NOT stopwords — they rank on frequency.
+    content = "must must must shall shall about about about their their compliance"
+    terms = related_terms_local(content, n=5)
+    assert terms == ["about", "their", "compliance"]
