@@ -17,9 +17,10 @@ complete within a batch).
 Semantics parity: for pure-ASCII text (the overwhelming case for source
 code) the C++ path produces exactly the unicode61 tokens of tokenize.py.
 Rows containing non-ASCII characters are diverted to the exact Python path
-(NFKD diacritic fold + ``[^\\W_]+``) inside the same function — identical
-output, only slower, and only for the rows that need it.  Differential
-equality against the pandas path is asserted in tests/test_arrow_tokenize.py.
+(the FTS5-derived translate table of unicode61_tables.py) inside the same
+function — identical output, only slower, and only for the rows that need
+it.  Differential equality against the pandas path is asserted in
+tests/test_arrow_tokenize.py.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import Column, DataFrame
 
-from bm25_index_tool_spark.tokenize import _TOKEN_RE, _strip_combining
+from bm25_index_tool_spark.tokenize import _TOKEN_RE, fold_unicode61
 
 _ASCII_SPLIT_PATTERN = "[^a-z0-9]+"
 
@@ -40,13 +41,11 @@ TF_SCHEMA = "doc_id long, term string, tf int"
 
 def _python_rows(doc_ids, texts) -> tuple[list[int], list[str], list[int]]:
     """Exact-path fallback for non-ASCII rows (rare)."""
-    import unicodedata
-
     out_ids: list[int] = []
     out_terms: list[str] = []
     out_tfs: list[int] = []
     for did, txt in zip(doc_ids, texts):
-        folded = _strip_combining(unicodedata.normalize("NFKD", txt.lower()))
+        folded = fold_unicode61(txt)
         for term, tf in Counter(_TOKEN_RE.findall(folded)).items():
             out_ids.append(did)
             out_terms.append(term)
@@ -70,19 +69,24 @@ def _pin_arrow_threads() -> None:
 
 def _batch_term_freqs(batch: pa.RecordBatch) -> pa.RecordBatch:
     doc_ids = batch.column(0)
-    text = pc.utf8_lower(batch.column(1))
-    ascii_mask = pc.string_is_ascii(text)
+    raw = batch.column(1)
+    # route on the ORIGINAL text: the slow path must see unmodified
+    # codepoints (FTS5's case/diacritic fold table is keyed on them;
+    # Arrow's utf8_lower can disagree with FTS5's case folding outside
+    # ASCII).  utf8_lower is applied only on the ASCII fast branch, where
+    # it equals FTS5's folding exactly.
+    ascii_mask = pc.string_is_ascii(raw)
     all_ascii = pc.all(ascii_mask).as_py()
 
     if all_ascii:
-        fast_ids, fast_text = doc_ids, text
+        fast_ids, fast_text = doc_ids, pc.utf8_lower(raw)
         slow_ids = slow_text = None
     else:
         fast_ids = pc.filter(doc_ids, ascii_mask)
-        fast_text = pc.filter(text, ascii_mask)
+        fast_text = pc.utf8_lower(pc.filter(raw, ascii_mask))
         inv = pc.invert(ascii_mask)
         slow_ids = pc.filter(doc_ids, inv)
-        slow_text = pc.filter(text, inv)
+        slow_text = pc.filter(raw, inv)
 
     # C++ path: split → flatten → parent index → filter empties → group count
     token_lists = pc.split_pattern_regex(fast_text, pattern=_ASCII_SPLIT_PATTERN)

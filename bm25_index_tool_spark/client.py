@@ -187,7 +187,13 @@ class BM25SparkClient:
         over the compressed block store; requires build_block_engine)."""
         pf = PathFilter(path_filter or [], exclude_path or [])
         cacheable = use_cache and not fragments and pf.is_empty()
-        key = SearchCache.make_key([name], query, top_k, {"engine": engine})
+        # include_content is part of the key: cached rows only carry
+        # 'content' when it was requested, so a content-less hit must not
+        # serve a later include_content=True call (ADVICE r01)
+        key = SearchCache.make_key(
+            [name], query, top_k,
+            {"engine": engine, "include_content": include_content},
+        )
         if cacheable:
             hit = self.cache.get(key)
             if hit is not None:

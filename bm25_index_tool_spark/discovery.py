@@ -65,25 +65,58 @@ def glob_to_regex(pattern: str) -> str:
 HARD_EXCLUDES = [r"(^|/)\.git(/|$)"]
 
 
-def ignore_lines_to_regexes(lines: list[str]) -> list[str]:
-    """A useful subset of gitignore semantics (enough for the reference's
-    tests): blank/comment lines skipped; trailing-slash → directory prefix;
-    leading-slash anchors; otherwise match any path segment."""
-    out = []
+def _ignore_line_to_regex(line: str) -> str:
+    anchored = line.startswith("/")
+    line = line.lstrip("/")
+    if line.endswith("/"):
+        body = glob_to_regex(line.rstrip("/"))[1:-1]
+        return (f"^{body}(/|$)") if anchored else (f"(^|/){body}(/|$)")
+    body = glob_to_regex(line)[1:-1]
+    return (f"^{body}$") if anchored else (f"(^|/){body}$")
+
+
+def ignore_lines_to_rules(lines: list[str]) -> list[tuple[bool, str]]:
+    """Gitignore lines → ordered (negated, regex) rules.
+
+    Gitwildmatch semantics subset (reference uses pathspec's gitwildmatch,
+    ``core/file_discovery.py:336-358``): blank/comment lines skipped;
+    ``!`` prefix negates (re-includes); trailing-slash → directory prefix;
+    leading-slash anchors; otherwise the pattern matches any path segment.
+    Evaluation is LAST-MATCH-WINS (git's rule).  Divergence, documented:
+    git refuses to re-include a file whose parent directory was excluded
+    by a directory pattern; this subset re-includes it.
+    """
+    out: list[tuple[bool, str]] = []
     for raw in lines:
         line = raw.strip()
-        if not line or line.startswith("#") or line.startswith("!"):
+        if not line or line.startswith("#"):
             continue
-        anchored = line.startswith("/")
-        line = line.lstrip("/")
-        if line.endswith("/"):
-            body = glob_to_regex(line.rstrip("/"))[1:-1]
-            pat = (f"^{body}(/|$)") if anchored else (f"(^|/){body}(/|$)")
-        else:
-            body = glob_to_regex(line)[1:-1]
-            pat = (f"^{body}$") if anchored else (f"(^|/){body}$")
-        out.append(pat)
+        negated = line.startswith("!")
+        if negated:
+            line = line[1:].strip()
+            if not line:
+                continue
+        out.append((negated, _ignore_line_to_regex(line)))
     return out
+
+
+def ignore_lines_to_regexes(lines: list[str]) -> list[str]:
+    """Back-compat shim: non-negated rules only (callers that can't apply
+    ordered semantics)."""
+    return [rx for neg, rx in ignore_lines_to_rules(lines) if not neg]
+
+
+def ignore_excluded_column(
+    rules: list[tuple[bool, str]], path_col: str = "path"
+) -> F.Column:
+    """Column that is true iff the path is excluded under last-match-wins:
+    later rules override earlier ones, ``!`` rules re-include."""
+    excluded = F.lit(False)
+    for negated, rx in rules:
+        excluded = F.when(
+            F.col(path_col).rlike(rx), F.lit(not negated)
+        ).otherwise(excluded)
+    return excluded
 
 
 def discover(
@@ -107,8 +140,9 @@ def discover(
     pred = include
     for hx in HARD_EXCLUDES:
         pred = pred & ~F.col(path_col).rlike(hx)
-    for ig in ignore_lines_to_regexes(ignore_lines or []):
-        pred = pred & ~F.col(path_col).rlike(ig)
+    rules = ignore_lines_to_rules(ignore_lines or [])
+    if rules:
+        pred = pred & ~ignore_excluded_column(rules, path_col)
     return corpus.where(pred)
 
 

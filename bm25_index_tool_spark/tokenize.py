@@ -26,7 +26,6 @@ the default profile stays FTS5-exact for rank identity.
 from __future__ import annotations
 
 import re
-import unicodedata
 from collections.abc import Iterable
 
 import pandas as pd
@@ -37,33 +36,42 @@ from pyspark.sql.types import ArrayType, IntegerType, StringType
 # T1 — index-side unicode61 tokenizer (vectorized)
 # ---------------------------------------------------------------------------
 
-# Token characters per FTS5 unicode61: Unicode alphanumerics.  Python's
-# ``\w`` = alphanumerics + underscore, so ``[^\W_]`` = alphanumerics only
-# (underscore is a separator in unicode61, verified vs SQLite 3.40.1).
-_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+from bm25_index_tool_spark.unicode61_tables import build_translate_table
+
+# Exact unicode61 (remove_diacritics=1) normalization: one str.translate
+# table derived by sweeping EVERY Unicode codepoint through SQLite's own
+# tokenizer (tools/gen_unicode61_tables.py).  It performs FTS5's case
+# folding, its SELECTIVE Latin diacritic fold (NOT full NFD/NFKD: ``ﬁ``,
+# ``x²``, fullwidth letters and Greek accents stay verbatim, matching FTS5
+# — the previous NFKD approximation over-folded these; ADVICE r01),
+# combining-mark deletion, and maps every non-ASCII separator to ' '.
+_U61_TABLE = build_translate_table()
+
+# After normalization every remaining non-ASCII char is a token char and
+# the ASCII token chars are [a-z0-9] (underscore is a separator in
+# unicode61, verified vs SQLite 3.40.1).
+_TOKEN_RE = re.compile("[a-z0-9\u0080-\U0010ffff]+")
 
 
-def _strip_combining(text: str) -> str:
-    return "".join(c for c in text if not unicodedata.combining(c))
+def fold_unicode61(text: str) -> str:
+    """Exact FTS5-unicode61 normalization of one string (case fold +
+    diacritic fold + separators -> ' ')."""
+    return text.translate(_U61_TABLE)
 
 
 def _fold_diacritics_series(s: pd.Series) -> pd.Series:
-    """Vectorized lowercase + diacritic folding (NFKD, strip combining marks).
-
-    unicode61 ``remove_diacritics=1``: ``café`` and ``cafe`` tokenize
-    identically (verified empirically against SQLite FTS5 in SURVEY.md §2.2).
-    The NFKD round-trip only runs on strings containing non-ASCII chars —
-    the overwhelmingly-common pure-ASCII row takes the fast path.
-    """
-    s = s.fillna("").str.lower()
+    """Vectorized unicode61 normalization.  Pure-ASCII rows (the common
+    case for source code) take the cheap ``.lower()`` path — equivalent to
+    the translate table on ASCII; rows with non-ASCII chars go through the
+    full table."""
+    s = s.fillna("")
     non_ascii = ~s.map(str.isascii)
     if non_ascii.any():
-        folded = s[non_ascii].map(
-            lambda t: _strip_combining(unicodedata.normalize("NFKD", t))
-        )
         s = s.copy()
-        s[non_ascii] = folded
-    return s
+        s[non_ascii] = s[non_ascii].str.translate(_U61_TABLE)
+        s[~non_ascii] = s[~non_ascii].str.lower()
+        return s
+    return s.str.lower()
 
 
 def _tokenize_series(s: pd.Series) -> pd.Series:

@@ -151,6 +151,47 @@ def _shard_topk(tbl, weights: dict, k1: float, b: float, avgdl: float, top_k: in
     return top_ids[order].tolist(), top_scores[order].tolist()
 
 
+def local_topk_from_blocks(
+    blocks, weights: dict, k1: float, b: float, avgdl: float, top_k: int
+):
+    """Per-partition local top-k over a (term-filtered) blocks DataFrame.
+
+    The input is repartitioned by ``shard`` FIRST: a raw parquet read may
+    split one shard's file across input partitions at row-group boundaries
+    (files > spark.sql.files.maxPartitionBytes), separating a query term's
+    blocks from the other terms' — the conjunctive presence/overlap checks
+    in ``_shard_topk`` would then silently drop matching docs (ADVICE r01,
+    high).  Tiny test files never split, so only a shuffle-enforced
+    partitioning makes the invariant hold at scale.  The shuffle is small:
+    only the query terms' blocks survive the pushed-down filter.
+
+    Multiple WHOLE shards hashing into one task partition is exact: doc-id
+    ranges don't overlap across shards, so scoring their union per partition
+    yields the same per-doc scores.
+    """
+
+    def score_shard(batches):
+        import pyarrow as pa
+
+        from bm25_index_tool_spark.arrow_tokenize import _pin_arrow_threads
+
+        _pin_arrow_threads()
+        acc = [x for x in batches if x.num_rows]
+        if not acc:
+            return
+        tbl = pa.Table.from_batches(acc).combine_chunks()
+        ids, scores = _shard_topk(tbl, weights, k1, b, avgdl, top_k)
+        if ids:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(scores, pa.float64())],
+                names=["doc_id", "score"],
+            )
+
+    return blocks.repartition("shard").mapInArrow(
+        score_shard, "doc_id long, score double"
+    )
+
+
 def wand_search(index: LoadedIndex, query: str, top_k: int = 10):
     """Top-k BM25 via the block engine; result (doc_id, path, filename,
     content_sha256, score) identical to score.score_query."""
@@ -195,27 +236,7 @@ def wand_search(index: LoadedIndex, query: str, top_k: int = 10):
         F.col("term").isin(list(counts))
     )
 
-    def score_shard(batches):
-        import pyarrow as pa
-
-        from bm25_index_tool_spark.arrow_tokenize import _pin_arrow_threads
-
-        _pin_arrow_threads()
-        acc = [x for x in batches if x.num_rows]
-        if not acc:
-            return
-        tbl = pa.Table.from_batches(acc).combine_chunks()
-        # a read partition may span shards: doc-ranges don't overlap across
-        # shards, so scoring the union still yields exact per-doc results —
-        # shard boundaries only matter for block construction, not scoring.
-        ids, scores = _shard_topk(tbl, weights, k1, b, avgdl, top_k)
-        if ids:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, pa.int64()), pa.array(scores, pa.float64())],
-                names=["doc_id", "score"],
-            )
-
-    local = blocks.mapInArrow(score_shard, "doc_id long, score double")
+    local = local_topk_from_blocks(blocks, weights, k1, b, avgdl, top_k)
     topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
     docs = index.docs().select(
         "doc_id", F.col("full_path").alias("path"), "filename", "content_sha256"

@@ -11,6 +11,7 @@ from bm25_index_tool_spark.discovery import (
     expand_braces,
     glob_to_regex,
     ignore_lines_to_regexes,
+    ignore_lines_to_rules,
     matches_locally,
 )
 
@@ -57,6 +58,51 @@ def test_ignore_lines():
     assert ignored("build/out.o") and ignored("a/build/out.o")
     assert ignored("rooted.txt") and not ignored("a/rooted.txt")
     assert not ignored("a/b/x.py")
+
+
+def _excluded_locally(rules, path):
+    """Driver-side twin of ignore_excluded_column (last-match-wins)."""
+    import re
+
+    state = False
+    for negated, rx in rules:
+        if re.search(rx, path):
+            state = not negated
+    return state
+
+
+def test_ignore_negation_last_match_wins():
+    """Gitignore ``!`` re-include semantics (reference uses pathspec
+    gitwildmatch, core/file_discovery.py:336-358; ADVICE r01)."""
+    rules = ignore_lines_to_rules(["*.log", "!important.log", "debug/"])
+    assert [n for n, _ in rules] == [False, True, False]
+    assert _excluded_locally(rules, "a/b/x.log")
+    assert not _excluded_locally(rules, "a/b/important.log")
+    assert _excluded_locally(rules, "debug/x.py")
+    # later exclude overrides an earlier re-include
+    rules2 = ignore_lines_to_rules(["!keep.txt", "*.txt"])
+    assert _excluded_locally(rules2, "keep.txt")
+    # re-include after directory exclude (documented divergence from git's
+    # parent-dir rule: this subset re-includes)
+    rules3 = ignore_lines_to_rules(["logs/", "!logs/keep.log"])
+    assert _excluded_locally(rules3, "logs/drop.log")
+    assert not _excluded_locally(rules3, "logs/keep.log")
+
+
+def test_discover_with_negation_on_dataframe(spark):
+    rows = [
+        ("r", "src/a.log"),
+        ("r", "src/important.log"),
+        ("r", "src/code.py"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string")
+    got = {
+        r["path"]
+        for r in discover(
+            df, "src/**", ignore_lines=["*.log", "!important.log"]
+        ).collect()
+    }
+    assert got == {"src/important.log", "src/code.py"}
 
 
 def test_discover_on_dataframe(spark):

@@ -126,6 +126,14 @@ def test_search_multi_and_cache_and_history(spark, client):
     found = client.history.search("apple", n=5)
     assert any("apple" in r["query"] for r in found)
 
+    # include_content is part of the cache key: a cached content-less
+    # result must NOT be served for an include_content=True call
+    assert all("content" not in r for r in r2)
+    r3 = client.search("m0", "apple", top_k=5, include_content=True)
+    assert r3 and all("content" in r and r["content"] for r in r3)
+    r4 = client.search("m0", "apple", top_k=5)  # content-less again
+    assert all("content" not in r for r in r4)
+
 
 def test_client_block_engine(spark, client):
     rows = C.generate_rows(40, seed=21)

@@ -57,6 +57,22 @@ INDEX_CASES = [
     "naïve élève ÀÇÉ",
     "foo.bar:baz/qux",
     "100% true!",
+    # compatibility characters: unicode61 keeps these VERBATIM (no NFKD
+    # folding) — ligatures, superscripts, fullwidth forms, enclosed digits
+    "ﬁle ﬂow config",
+    "x² + y³ units",
+    "ｆｕｌｌwidth ＡＢＣ",
+    "ℕatural ①②③",
+    # non-Latin scripts: diacritics kept (FTS5's fold table is Latin-only)
+    "Ωmega άλφα ϊ",
+    "й ё Москва straße",
+    # Latin Extended Additional (Vietnamese): outside FTS5's fold table
+    "ếch việt ồ ậ",
+    # µ (micro sign): FTS5 case-folds to Greek μ, Python .lower() does not
+    "µ micro",
+    # decomposed input: combining marks are stripped inside tokens
+    "café latte",
+    "žluťoučký kůň ą ć ę",
 ]
 
 
@@ -83,6 +99,30 @@ def fts5_tokenize(text: str) -> list[str]:
 def test_index_tokenizer_matches_fts5(text):
     ours = _tokenize_series(pd.Series([text])).iloc[0]
     assert list(ours) == fts5_tokenize(text)
+
+
+def test_index_tokenizer_matches_fts5_property():
+    """Property sweep: random Unicode strings (all planes, no surrogates)
+    must tokenize identically to the live FTS5 unicode61 tokenizer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0x20,
+                max_codepoint=0x10FFFF,
+                exclude_categories=("Cs",),
+            ),
+            max_size=60,
+        )
+    )
+    def check(text):
+        ours = _tokenize_series(pd.Series([text])).iloc[0]
+        assert list(ours) == fts5_tokenize(text), repr(text)
+
+    check()
 
 
 def test_related_terms_stopwords_and_length():

@@ -119,3 +119,45 @@ def test_wand_large_topk(blocked_index, oracle):
     expected = oracle.search_bm25(q, top_k=500)
     got = wand_search(blocked_index, q, top_k=500).collect()
     assert [r["doc_id"] for r in got] == [e[0] for e in expected]
+
+
+def test_local_topk_correct_under_adversarial_input_partitioning(
+    spark, blocked_index, oracle
+):
+    """A raw parquet read can split a shard's blocks across input partitions
+    (row-group splits at scale), separating one query term's blocks from the
+    others' — the conjunctive presence check would then drop matches.
+    local_topk_from_blocks must restore shard-whole partitioning itself:
+    feed it blocks partitioned BY TERM (the worst case — every partition
+    holds exactly one term) and require identical results to plan 1."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bm25_index_tool_spark import build as B
+    from bm25_index_tool_spark.murmur import term_bucket  # noqa: F401
+    from bm25_index_tool_spark.wand import _idf, local_topk_from_blocks
+
+    q_terms = ["data", "value"]
+    m = blocked_index.manifest
+    stats = (
+        blocked_index.termstats()
+        .where(F.col("term").isin(q_terms))
+        .collect()
+    )
+    dfs = {r["term"]: r["df"] for r in stats}
+    weights = {t: _idf(m.num_docs, dfs[t]) for t in q_terms}
+
+    blocks = (
+        spark.read.parquet(os.path.join(blocked_index.index_dir, B.BLOCKS_DIR))
+        .where(F.col("term").isin(q_terms))
+        .repartition(8, "term")  # adversarial: shards straddle partitions
+    )
+    local = local_topk_from_blocks(
+        blocks, weights, m.params.k1, m.params.b, m.avgdl, top_k=10
+    )
+    got = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    expected = oracle.search_bm25("data value", top_k=10)
+    assert [r["doc_id"] for r in got] == [e[0] for e in expected]
+    for e, g in zip(expected, got):
+        assert math.isclose(e[4], g["score"], rel_tol=1e-9)
