@@ -75,6 +75,10 @@ class IndexManifest:
     index_version: int = INDEX_FORMAT_VERSION
     created_at: str = ""
     source: dict = field(default_factory=dict)
+    # exact corpus token count (avgdl = total_tokens / num_docs) — carried
+    # so incremental updates can delta-adjust avgdl without a full scan;
+    # -1 in manifests written before this field existed
+    total_tokens: int = -1
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -85,7 +89,13 @@ class IndexManifest:
     def from_json(cls, s: str) -> "IndexManifest":
         d = json.loads(s)
         d["params"] = BM25Params(**d["params"])
-        return cls(**d)
+        m = cls(**d)
+        if m.total_tokens < 0 and m.num_docs >= 0:
+            # pre-field manifest: reconstruct from avgdl (exact — avgdl was
+            # computed as total/num_docs in double, round-trips for realistic
+            # corpus sizes)
+            m.total_tokens = int(round(m.avgdl * m.num_docs))
+        return m
 
 
 def load_manifest(index_dir: str) -> IndexManifest:
@@ -262,6 +272,17 @@ class BuildCheckpoints:
             return json.load(f)
 
 
+def docs_derived_columns(ids: DataFrame) -> DataFrame:
+    """Content-derived columns of the docs table (sha256/md5/size/timestamp)
+    — shared by the full build and the incremental delta path."""
+    return (
+        ids.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        .withColumn("content_md5", F.md5(F.col("content")))
+        .withColumn("size", F.length("content").cast("long"))
+        .withColumn("indexed_at", F.current_timestamp())
+    )
+
+
 def _fts_document() -> F.Column:
     """The FTS5 'document' = all three indexed columns at weight 1.0
     (path, filename, content — verified in SURVEY.md §2.4: tf counts hits in
@@ -400,6 +421,10 @@ def _build(
         return ckpt.read(stage)
 
     # -- stage 1: docs table with deterministic doc_id + invariants ---------
+    # The docs table is partitioned by doc_pt = pmod(doc_id, num_buckets):
+    # incremental updates rewrite only the partitions containing changed
+    # doc_ids (IO ∝ delta, not corpus), and point lookups by doc_id prune
+    # to one partition.
     def _docs() -> dict:
         if ids_preassigned:
             ids = with_derived_columns(corpus).drop("_dirname", "_natint")
@@ -410,18 +435,25 @@ def _build(
         target_p = num_partitions or spark.sparkContext.defaultParallelism
         if ids.rdd.getNumPartitions() < target_p:
             ids = ids.repartition(target_p, "doc_id")
-        out = (
-            ids.withColumn("content_sha256", F.sha2(F.col("content"), 256))
-            .withColumn("content_md5", F.md5(F.col("content")))
-            .withColumn("size", F.length("content").cast("long"))
-            .withColumn("indexed_at", F.current_timestamp())
+        out = docs_derived_columns(ids).withColumn(
+            "doc_pt", F.pmod(F.col("doc_id"), F.lit(num_buckets))
         )
         # Observation: row count rides along with the write — no read-back job
         from pyspark.sql import Observation
 
         obs = Observation("docs_metrics")
         out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
-        out.write.mode("overwrite").parquet(docs_path)
+        if ids.isEmpty():
+            # dynamic partitionBy writes nothing for an empty relation
+            out.write.mode("overwrite").parquet(docs_path)
+            return {"rows": 0}
+        (
+            out.repartition(num_buckets, "doc_pt")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("doc_pt")
+            .parquet(docs_path)
+        )
         return {"rows": obs.get["rows"]}
 
     m_docs = _stage("docs", _docs)
@@ -552,6 +584,7 @@ def _build(
         params=params,
         created_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
         source=source or {},
+        total_tokens=int(m_post["total_tokens"]),
     )
     with open(os.path.join(index_dir, MANIFEST), "w") as f:
         f.write(manifest.to_json())

@@ -9,17 +9,31 @@ Spark-first, the same semantics are three joins:
     deleted  = stored  ⟕anti current
     modified = current ⋈ stored WHERE hash differs
 
-and the apply step is a full rebuild of the postings for the *changed docs
-only*, merged with the untouched postings — a partition-level MERGE rather
-than row-at-a-time upserts.  Changed docs keep their doc_id (path identity);
-new docs get fresh ids above the current max; corpus stats (N, avgdl, df)
-are recomputed as aggregates.  Equivalence to a from-scratch rebuild on the
-new corpus is asserted in tests (the reference's own equivalence:
-``commands/update.py`` incremental apply vs ``--reindex``).
+and the apply step is a TRUE delta merge (VERDICT r01 #2):
+
+* only ``added ∪ modified`` documents are tokenized — unchanged documents
+  never re-enter the tokenizer (the reference's skip-unchanged intent,
+  ``commands/update.py:149-253``);
+* postings/termstats are rewritten ONLY for the term-hash buckets that
+  contain delta terms or postings of removed docs (per-bucket directory
+  swap; untouched buckets' parquet files stay byte-identical);
+* the docs table is partitioned by ``doc_pt = pmod(doc_id, num_buckets)``
+  and only partitions containing changed doc_ids are rewritten — unchanged
+  docs are never re-read, re-hashed, or re-written;
+* N / avgdl are delta-adjusted from the manifest's exact ``total_tokens``
+  (new_total = old − removed_tf + delta_tf), no corpus-wide aggregate.
+
+Changed docs keep their doc_id (path identity); new docs get fresh ids
+above the current max.  Equivalence to a from-scratch rebuild on the new
+corpus is asserted in tests (the reference's own equivalence:
+``commands/update.py`` incremental apply vs ``--reindex``), plus a
+byte-identity test on untouched bucket files.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -69,6 +83,42 @@ def detect_changes(current: DataFrame, stored_docs: DataFrame) -> ChangeSet:
     return ChangeSet(added=added, modified=modified, deleted=deleted)
 
 
+_CORPUS_COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _ensure_nonempty_partitioned(
+    spark: SparkSession, path: str, part_col: str, schema
+) -> None:
+    """After partition swaps, a directory may hold zero partition dirs
+    (everything deleted) — unreadable by spark.read.parquet.  Replace it
+    with a schema'd empty plain-parquet table (same convention as the
+    empty-corpus build)."""
+    if any(n.startswith(f"{part_col}=") for n in os.listdir(path)):
+        return
+    if any(n.endswith(".parquet") for n in os.listdir(path)):
+        return  # already a plain (possibly empty) parquet table
+    from pyspark.sql.types import IntegerType
+
+    empty = spark.createDataFrame([], schema.add(part_col, IntegerType()))
+    empty.write.mode("overwrite").parquet(path)
+
+
+def _swap_partitions(
+    live_dir: str, tmp_dir: str, part_col: str, values: list
+) -> None:
+    """Atomically-ish replace ``live_dir/part_col=v`` with the freshly
+    written ``tmp_dir/part_col=v`` for each v; a value with no output in
+    tmp (everything in the partition was removed) deletes the live dir."""
+    for v in values:
+        live = os.path.join(live_dir, f"{part_col}={v}")
+        fresh = os.path.join(tmp_dir, f"{part_col}={v}")
+        if os.path.exists(live):
+            shutil.rmtree(live)
+        if os.path.exists(fresh):
+            os.replace(fresh, live)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
 def apply_update(
     spark: SparkSession,
     index_dir: str,
@@ -76,61 +126,221 @@ def apply_update(
     *,
     num_buckets: int | None = None,
 ) -> "object":
-    """Incremental update: rebuild the index content for changed/added docs,
-    drop deleted docs, keep stable doc_ids for unchanged/modified paths.
+    """True incremental update; returns the new IndexManifest.
 
-    Returns the new IndexManifest.  Implementation strategy: compute the
-    surviving docs table (old ids preserved) ∪ added docs (new ids), then
-    re-run the stateless stages (doclens/postings/termstats are pure
-    functions of the docs table).  At 100 TB scale the postings re-write
-    touches only buckets containing changed terms; here we rewrite all
-    buckets for simplicity but keep the doc-id stability contract — the
-    expensive part (re-tokenizing unchanged content) is still avoided by
-    reusing stored content columns.
+    ``num_buckets`` is accepted for API compatibility but the bucket layout
+    is fixed by the existing index (changing it requires a full rebuild).
     """
-    import os
+    from pyspark import StorageLevel
 
     from bm25_index_tool_spark import build as B
 
     manifest = B.load_manifest(index_dir)
-    docs = spark.read.parquet(os.path.join(index_dir, B.DOCS_DIR))
+    nb = manifest.num_buckets
+    if num_buckets and num_buckets != nb:
+        raise ValueError(
+            f"bucket layout is fixed at build time ({nb}); rebuild to change it"
+        )
+    docs_path = os.path.join(index_dir, B.DOCS_DIR)
+    postings_path = os.path.join(index_dir, B.POSTINGS_DIR)
+    termstats_path = os.path.join(index_dir, B.TERMSTATS_DIR)
+
+    docs = spark.read.parquet(docs_path)
     changes = detect_changes(current, docs)
+    counts = changes.counts()
+    if all(v == 0 for v in counts.values()):
+        return manifest
 
-    cur = current.withColumn("full_path", F.concat_ws("/", "repo", "path"))
+    # ---- removed ids: deleted docs + old versions of modified docs --------
+    modified_ids = changes.modified.join(
+        docs.select("doc_id", "full_path"), "full_path"
+    )
+    removed_ids = (
+        changes.deleted.select("doc_id")
+        .unionByName(modified_ids.select("doc_id"))
+        .localCheckpoint(eager=True)  # sever lineage from the files we swap
+    )
+    rem = F.broadcast(removed_ids)
 
-    # surviving docs: paths still present; take fresh content (covers
-    # modified rows), keep the stored doc_id.
-    surviving = (
-        docs.select("doc_id", "full_path")
-        .join(cur, "full_path")
-        .select("doc_id", "repo", "path", "commit", "lang", "content")
+    # ---- delta docs (the ONLY rows that get tokenized) ---------------------
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    added_src = changes.added.select(*_CORPUS_COLS)
+    added_with_ids = (
+        B.assign_doc_ids(added_src)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(max_id))
+        .select("doc_id", *_CORPUS_COLS)
+    )
+    delta = (
+        modified_ids.select("doc_id", *_CORPUS_COLS)
+        .unionByName(added_with_ids)
+    )
+    delta_full = (
+        B.with_derived_columns(delta)
+        .drop("_dirname", "_natint")
+        .localCheckpoint(eager=True)
     )
 
-    # new docs: fresh ids above max, assigned in deterministic corpus order
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
-    added_src = changes.added.select("repo", "path", "commit", "lang", "content")
-    new_ids = B.assign_doc_ids(added_src).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(max_id)
-    ).select("doc_id", "repo", "path", "commit", "lang", "content")
+    # tokenize ONLY the delta (arrow C++ fast path for the default profile)
+    parallelism = spark.sparkContext.defaultParallelism
+    repart = delta_full.repartition(parallelism, "doc_id")
+    if manifest.tokenizer_profile == "unicode61":
+        from bm25_index_tool_spark.arrow_tokenize import doc_term_freqs
 
-    combined = surviving.unionByName(new_ids)
+        tfs = doc_term_freqs(repart, B._fts_document())
+    else:
+        from bm25_index_tool_spark.tokenize import tokenizer_for
 
-    import os as _os
+        tok = tokenizer_for(manifest.tokenizer_profile)
+        tfs = (
+            repart.select("doc_id", F.explode(tok(B._fts_document())).alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("int").alias("tf"))
+        )
+    from pyspark.sql.window import Window
 
-    had_blocks = _os.path.exists(_os.path.join(index_dir, B.BLOCKS_DIR))
-    new_manifest = B.rebuild_from_identified(
-        spark,
-        combined,
-        index_dir,
+    delta_post = (
+        tfs.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
+        )
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(nb)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    agg = delta_post.agg(
+        F.coalesce(F.sum("tf"), F.lit(0)).alias("tokens"),
+        F.collect_set("bucket").alias("buckets"),
+    ).collect()[0]
+    delta_tokens, delta_buckets = int(agg["tokens"]), set(agg["buckets"])
+
+    # ---- discover buckets holding removed docs' postings + their tf sum ----
+    old_post = spark.read.parquet(postings_path)
+    removed_rows = old_post.join(rem, "doc_id")
+    ragg = removed_rows.groupBy("bucket").agg(F.sum("tf").alias("t")).collect()
+    hit_buckets = {r["bucket"] for r in ragg}
+    removed_tokens = int(sum(r["t"] for r in ragg))
+
+    changed = sorted(delta_buckets | hit_buckets)
+
+    if changed:
+        # ---- merge postings for changed buckets only (per-bucket swap) ----
+        merged = (
+            old_post.where(F.col("bucket").isin(changed))
+            .join(rem, "doc_id", "left_anti")
+            .unionByName(delta_post.select(*old_post.columns))
+        )
+        tmp_post = postings_path.rstrip("/") + ".update-tmp"
+        (
+            merged.repartition(len(changed), "bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp_post)
+        )
+        tmp_ts = termstats_path.rstrip("/") + ".update-tmp"
+        if any(n.startswith("bucket=") for n in os.listdir(tmp_post)):
+            # termstats for changed buckets: term → bucket is functional, so
+            # a changed bucket's df values derive entirely from its merged
+            # postings
+            new_ts = (
+                spark.read.parquet(tmp_post)
+                .groupBy("term")
+                .agg(F.count("*").cast("long").alias("df"))
+                .withColumn("bucket", F.pmod(F.hash("term"), F.lit(nb)))
+            )
+            (
+                new_ts.repartition(len(changed), "bucket")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(tmp_ts)
+            )
+        else:
+            # every changed bucket emptied out — swaps below just delete
+            shutil.rmtree(tmp_ts, ignore_errors=True)
+            os.makedirs(tmp_ts)
+        # capture schemas BEFORE the swap (lineage points at live files)
+        post_schema = old_post.drop("bucket").schema
+        ts_schema = spark.read.parquet(termstats_path).drop("bucket").schema
+        _swap_partitions(termstats_path, tmp_ts, "bucket", changed)
+        _swap_partitions(postings_path, tmp_post, "bucket", changed)
+        # if every bucket emptied out (corpus shrank to nothing), leave a
+        # readable schema'd-empty table like the full build does
+        _ensure_nonempty_partitioned(spark, postings_path, "bucket", post_schema)
+        _ensure_nonempty_partitioned(spark, termstats_path, "bucket", ts_schema)
+
+    # ---- docs table: rewrite only partitions containing changed ids --------
+    delta_docs = B.docs_derived_columns(delta_full).withColumn(
+        "doc_pt", F.pmod(F.col("doc_id"), F.lit(nb))
+    )
+    if "doc_pt" not in docs.columns:
+        # index built before the docs table was doc_pt-partitioned: one-time
+        # full rewrite onto the partitioned layout (no tokenization either way)
+        full = (
+            docs.withColumn("doc_pt", F.pmod(F.col("doc_id"), F.lit(nb)))
+            .join(rem, "doc_id", "left_anti")
+            .unionByName(delta_docs.select(*docs.columns, "doc_pt"))
+            .localCheckpoint(eager=True)
+        )
+        shutil.rmtree(docs_path)
+        (
+            full.repartition(nb, "doc_pt")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("doc_pt")
+            .parquet(docs_path)
+        )
+    else:
+        removed_pts = {
+            r["p"]
+            for r in removed_ids.select(
+                F.pmod(F.col("doc_id"), F.lit(nb)).alias("p")
+            )
+            .distinct()
+            .collect()
+        }
+        dagg = delta_docs.agg(F.collect_set("doc_pt").alias("p")).collect()[0]
+        changed_pts = sorted(removed_pts | set(dagg["p"]))
+        if changed_pts:
+            docs_cols = [c for c in docs.columns]
+            merged_docs = (
+                docs.where(F.col("doc_pt").isin(changed_pts))
+                .join(rem, "doc_id", "left_anti")
+                .unionByName(delta_docs.select(*docs_cols))
+            )
+            tmp_docs = docs_path.rstrip("/") + ".update-tmp"
+            (
+                merged_docs.repartition(len(changed_pts), "doc_pt")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .partitionBy("doc_pt")
+                .parquet(tmp_docs)
+            )
+            _swap_partitions(docs_path, tmp_docs, "doc_pt", changed_pts)
+    _ensure_nonempty_partitioned(spark, docs_path, "doc_pt", docs.drop("doc_pt").schema)
+
+    delta_post.unpersist()
+
+    # ---- manifest: exact delta-adjusted N / total_tokens / avgdl -----------
+    new_num_docs = manifest.num_docs - counts["deleted"] + counts["added"]
+    new_total = manifest.total_tokens - removed_tokens + delta_tokens
+    new_manifest = B.IndexManifest(
         name=manifest.name,
+        num_docs=new_num_docs,
+        avgdl=(new_total / new_num_docs) if new_num_docs else 0.0,
+        num_buckets=nb,
         tokenizer_profile=manifest.tokenizer_profile,
         params=manifest.params,
-        num_buckets=num_buckets or manifest.num_buckets,
+        created_at=manifest.created_at,
         source=manifest.source,
+        total_tokens=new_total,
     )
-    if had_blocks:
-        # the block engine store derives from postings — rebuild it so
-        # engine='blocks' keeps working after an incremental update
+    with open(os.path.join(index_dir, B.MANIFEST), "w") as f:
+        f.write(new_manifest.to_json())
+
+    if os.path.exists(os.path.join(index_dir, B.BLOCKS_DIR)):
+        # the block store doc-shards by contiguous doc_id range over
+        # num_docs, so shard assignment shifts with N — rebuilt from the
+        # merged postings (IO-bound, no tokenization; at scale, shard by
+        # fixed doc_id ranges instead to make this delta-only)
         from bm25_index_tool_spark.blocks import build_blocks
 
         build_blocks(spark, index_dir)

@@ -126,11 +126,31 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hot_shingle_cap: int | None = 10_000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with Jaccard(shingle sets) ≥ threshold.
     Intersection via self-join on shingle (co-partitioned shuffle), union by
-    inclusion–exclusion — never materializes the full pair matrix."""
+    inclusion–exclusion — never materializes the full pair matrix.
+
+    ``hot_shingle_cap`` (VERDICT r01 #3): shingles appearing in more than
+    ``cap`` documents are dropped BEFORE the self-join — a shingle with
+    document frequency d would otherwise emit d² intermediate rows (one
+    boilerplate 3-gram shared by 10⁶ docs = 10¹² rows).  Jaccard is then
+    exact over the reduced shingle sets (both the intersection AND the
+    per-doc sizes exclude capped shingles).  A hot shingle is by definition
+    near-useless evidence of pairwise similarity, so the approximation
+    errs only on pairs glued together by boilerplate.  ``None`` disables.
+    """
     sh = shingles(df, id_col, text_col, shingle_n)
+    if hot_shingle_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > hot_shingle_cap)
+            .select("shingle")
+        )
+        # anti-join co-partitions with the self-join on shingle below
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -151,30 +171,52 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """(id, simhash) — per-term bit b = high bit of hex digit b of
-    md5(term) (md5 hex is identical across engines); bit contributes
-    +tf/−tf; fingerprint bit = sign of the sum."""
+# hex digits whose bit-3 (value ≥ 8) / bit-2 (value & 4) is set — two
+# fingerprint bits extracted per md5 hex digit, giving up to 64 bits from
+# the 32-digit md5 (engine-portable: same substring+IN runs in DuckDB)
+_HEX_BIT3 = ("8", "9", "a", "b", "c", "d", "e", "f")
+_HEX_BIT2 = ("4", "5", "6", "7", "c", "d", "e", "f")
+
+
+def simhash_bit_digit(b: int) -> tuple[int, tuple[str, ...]]:
+    """Fingerprint bit b ← (1-based md5 hex digit position, set-digits)."""
+    return b // 2 + 1, (_HEX_BIT3 if b % 2 == 0 else _HEX_BIT2)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash) — per-term bit b from md5(term) hex digits (two bits
+    per digit; md5 hex is identical across engines); each bit contributes
+    +tf/−tf; fingerprint bit = sign of the sum.
+
+    Default widened to 64 bits (VERDICT r01 #9: 16 bits collide at 10¹²
+    docs — E[pairs per fingerprint] ≈ N²/2^bits).  The signed-long
+    fingerprint uses two's complement for bit 63 (fp ∈ full int64 range).
+    """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     terms = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term"))
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.md5("term"))
     )
-    bit_sums = terms.groupBy("id").agg(
-        *[
+    bit_aggs = []
+    for b in range(bits):
+        pos, digits = simhash_bit_digit(b)
+        bit_aggs.append(
             F.sum(
                 F.when(
-                    F.substring("h", b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                    F.col("tf"),
+                    F.substring("h", pos, 1).isin(*digits), F.col("tf")
                 ).otherwise(-F.col("tf"))
             ).alias(f"s_{b}")
-            for b in range(bits)
-        ]
-    )
+        )
+    bit_sums = terms.groupBy("id").agg(*bit_aggs)
     fp = F.lit(0).cast("long")
     for b in range(bits):
-        fp = fp + F.when(F.col(f"s_{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        weight = -(2**63) if b == 63 else 2**b  # two's complement high bit
+        fp = fp + F.when(
+            F.col(f"s_{b}") > 0, F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return bit_sums.select("id", fp.alias("simhash"))
 
 
@@ -184,20 +226,38 @@ def embedding_cosine_dup_pairs(
     vec_col: str = "embedding",
     *,
     threshold: float = 0.95,
-    bucket_dims: int = 4,
+    dim: int = 64,
+    n_bits: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dup pairs: sign-bucket on the first ``bucket_dims``
-    dims (an axis-aligned SRP-LSH — engine-portable), cosine within bucket
-    only.  Brute-force within-bucket is bounded by bucket size, not N²."""
-    from bm25_index_tool_spark.pipeline.simsearch import cosine_expr, sign_bucket
+    """Embedding near-dup pairs via seeded SRP-LSH (VERDICT r01 #4): a pair
+    is a candidate iff it shares a bucket in ANY of ``n_tables`` tables of
+    ``n_bits`` random hyperplanes; exact cosine within candidates.  With
+    16 bits the expected bucket occupancy is N/65536 — within-bucket joins
+    are bounded by that, never N²/16 like the old 4-fixed-dims variant."""
+    from bm25_index_tool_spark.pipeline.simsearch import (
+        cosine_expr,
+        srp_bucket_col,
+        srp_hyperplanes,
+    )
 
-    e = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-    ).withColumn("bucket", sign_bucket(F.col("v"), bucket_dims))
+    planes = srp_hyperplanes(dim, n_bits, n_tables, seed)
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    frames = [
+        e.select(
+            "id", "v",
+            F.lit(t).alias("table"),
+            srp_bucket_col(F.col("v"), planes[t]).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    import functools
+
+    banded = functools.reduce(lambda a, b: a.unionByName(b), frames)
     pairs = (
-        e.alias("a")
-        .join(e.alias("b"), "bucket")
+        banded.alias("a")
+        .join(banded.alias("b"), ["table", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
@@ -205,5 +265,6 @@ def embedding_cosine_dup_pairs(
             F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 9).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        .distinct()
     )
     return pairs

@@ -3,18 +3,27 @@
 * ``brute_force_topk`` — exact cosine top-k against a query vector; the
   dot product is a JVM-side ``aggregate``/``zip_with`` fold (whole-stage
   codegen, no Python), ``TakeOrderedAndProject`` for the top-k.
-* ``lsh_bucketed_topk`` — the scale path: sign-random-projection buckets
-  (axis-aligned variant for engine portability) prune the scan to the
-  query's bucket; same scoring inside.
+* ``srp_*`` — seeded sign-random-projection LSH (VERDICT r01 #4: the old
+  variant used the signs of the first 4 dims — 16 fixed buckets, no
+  randomness, unmeasured recall).  Hyperplanes are drawn from a seeded
+  Gaussian (reproducible; the seed is an argument, never ambient RNG),
+  ``n_bits`` per table × ``n_tables`` tables OR-ed together.  Hyperplane
+  literals embed identically into Spark Columns and DuckDB SQL, so every
+  SRP operator keeps an exact differential oracle.
+* ``write_ann_index`` / ``ann_search`` — the 100-TB path: one row per
+  (table, bucket, id, vec), written ``partitionBy(table, bucket)``; a probe
+  reads exactly ``n_tables`` partitions (partition-filter pushdown), scores
+  exact cosine inside, dedupes across tables, top-k.
 
-At 100 TB the brute force is one narrow scan + no shuffle (per-partition
-top-k heaps merged by TakeOrdered); the LSH variant prunes the scan by
-bucket pushdown when the table is written partitioned by bucket.
+Recall is measured in tests/test_pipeline.py (recall@20 ≥ 0.9 vs brute
+force on a clustered corpus); at 100 TB the probe cost is
+O(n_tables × N / 2^n_bits) rows instead of N.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -37,17 +46,6 @@ def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def sign_bucket(vec: F.Column, dims: int) -> F.Column:
-    """Bucket id from the signs of the first ``dims`` components — a
-    deterministic SRP-LSH with axis-aligned hyperplanes (portable to SQL)."""
-    bucket = F.lit(0)
-    for i in range(dims):
-        bucket = bucket + F.when(
-            F.element_at(vec, i + 1).cast("double") > 0, F.lit(2**i)
-        ).otherwise(F.lit(0))
-    return bucket
-
-
 def brute_force_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -68,6 +66,64 @@ def brute_force_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Seeded sign-random-projection LSH
+# ---------------------------------------------------------------------------
+
+
+def srp_hyperplanes(
+    dim: int, n_bits: int = 16, n_tables: int = 4, seed: int = 42
+) -> list[list[list[float]]]:
+    """``[table][bit][dim]`` Gaussian hyperplanes from a seeded RNG —
+    deterministic across runs/engines; rounded to 6 dp so the literals are
+    compact in SQL and bit-identical between Spark and DuckDB."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    return [[[round(float(x), 6) for x in bit] for bit in t] for t in planes]
+
+
+def _plane_dot(vec: F.Column, plane: list[float]) -> F.Column:
+    p = F.array(*[F.lit(x) for x in plane])
+    return _dot(vec, p)
+
+
+def srp_bucket_col(vec: F.Column, table_planes: list[list[float]]) -> F.Column:
+    """Bucket id for one table: bit i = sign(vec · plane_i)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(table_planes):
+        bucket = bucket + F.when(
+            _plane_dot(vec, plane) > 0, F.lit(2**i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def srp_bucket_sql(vec_expr: str, table_planes: list[list[float]]) -> str:
+    """DuckDB twin of srp_bucket_col (list_dot_product on literal lists)."""
+    terms = []
+    for i, plane in enumerate(table_planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) > 0 "
+            f"THEN {2**i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def srp_query_buckets(
+    query_vec: list[float], planes: list[list[list[float]]]
+) -> list[int]:
+    """Driver-side bucket of the query vector in each table."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    out = []
+    for table in planes:
+        b = 0
+        for i, plane in enumerate(table):
+            if float(np.dot(q, np.asarray(plane))) > 0:
+                b += 2**i
+        out.append(b)
+    return out
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -75,21 +131,93 @@ def lsh_bucketed_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_dims: int = 4,
+    n_bits: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: scan only the query's sign bucket."""
-    qbucket = 0
-    for i in range(bucket_dims):
-        if float(query_vec[i]) > 0:
-            qbucket += 2**i
+    """Approximate top-k: scan only rows that share the query's SRP bucket
+    in ANY table (multi-table OR), exact cosine within candidates."""
+    dim = len(query_vec)
+    planes = srp_hyperplanes(dim, n_bits, n_tables, seed)
+    qb = srp_query_buckets(query_vec, planes)
+    v = F.col(vec_col)
+    cond = F.lit(False)
+    for t in range(n_tables):
+        cond = cond | (srp_bucket_col(v, planes[t]) == qb[t])
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        emb.withColumn("bucket", sign_bucket(F.col(vec_col), bucket_dims))
-        .where(F.col("bucket") == qbucket)
+        emb.where(cond)
         .select(
             F.col(id_col).alias("id"),
-            F.round(cosine_expr(F.col(vec_col), q), 9).alias("cosine"),
+            F.round(cosine_expr(v, q), 9).alias("cosine"),
         )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def write_ann_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int,
+) -> dict:
+    """Materialize the multi-table SRP index: one row per (table, bucket,
+    id, vec), ``partitionBy(table, bucket)`` so a probe is a pure partition
+    filter.  Storage is n_tables × the embedding table — the classic LSH
+    space-for-recall trade."""
+    planes = srp_hyperplanes(dim, n_bits, n_tables, seed)
+    frames = []
+    for t in range(n_tables):
+        frames.append(
+            emb.select(
+                F.lit(t).alias("table"),
+                srp_bucket_col(F.col(vec_col), planes[t]).alias("bucket"),
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+            )
+        )
+    import functools
+
+    all_rows = functools.reduce(lambda a, b: a.unionByName(b), frames)
+    (
+        all_rows.repartition("table", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("table", "bucket")
+        .parquet(path)
+    )
+    return {"n_bits": n_bits, "n_tables": n_tables, "seed": seed, "dim": dim}
+
+
+def ann_search(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    n_bits: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Probe the materialized SRP index: n_tables partition filters, exact
+    cosine on candidates, per-id dedupe, top-k."""
+    planes = srp_hyperplanes(len(query_vec), n_bits, n_tables, seed)
+    qb = srp_query_buckets(query_vec, planes)
+    idx = spark.read.parquet(path)
+    cond = F.lit(False)
+    for t in range(n_tables):
+        cond = cond | ((F.col("table") == t) & (F.col("bucket") == qb[t]))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        idx.where(cond)
+        .select("id", F.round(cosine_expr(F.col("v"), q), 9).alias("cosine"))
+        .groupBy("id")
+        .agg(F.max("cosine").alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )

@@ -757,12 +757,19 @@ FROM banded l JOIN banded r
 
 
 JACCARD_THRESHOLD = 0.1
+# hot-shingle cap (VERDICT r01 #3): shingles with df > cap are dropped
+# before the self-join on BOTH sides; chosen above the fixture's max df so
+# the driver-scale results are unchanged while the quadratic guard is live
+JACCARD_HOT_CAP = 50
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return DD.ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=SHINGLE_N, threshold=JACCARD_THRESHOLD
+        docs, "doc_id", "text",
+        shingle_n=SHINGLE_N,
+        threshold=JACCARD_THRESHOLD,
+        hot_shingle_cap=JACCARD_HOT_CAP,
     ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -777,11 +784,15 @@ WITH toks AS (
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
   FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT id, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS shingle
   FROM toks, unnest(range(1, len(t) - {SHINGLE_N} + 2)) AS u(i)
   WHERE len(t) >= {SHINGLE_N}
 ),
+hot AS (
+  SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) > {JACCARD_HOT_CAP}
+),
+sh AS (SELECT * FROM sh_all ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
@@ -796,7 +807,7 @@ JOIN sizes sb ON sb.id = id_b
 WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}"""
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64  # VERDICT r01 #9: 16 bits collide at 10^12 docs
 
 
 def q_simhash(spark, sf_dir):
@@ -808,14 +819,21 @@ def q_simhash(spark, sf_dir):
 
 
 def _sql_simhash() -> str:
-    bit_sums = ",\n    ".join(
-        f"sum(CASE WHEN substr(h, {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN tf ELSE -tf END) AS s_{b}"
-        for b in range(SIMHASH_BITS)
-    )
-    fp = " + ".join(
-        f"CASE WHEN s_{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for b in range(SIMHASH_BITS)
-    )
+    sums = []
+    for b in range(SIMHASH_BITS):
+        pos, digits = DD.simhash_bit_digit(b)
+        inlist = ",".join(f"'{d}'" for d in digits)
+        sums.append(
+            f"sum(CASE WHEN substr(h, {pos}, 1) IN ({inlist}) THEN tf ELSE -tf END) AS s_{b}"
+        )
+    bit_sums = ",\n    ".join(sums)
+    fp_terms = []
+    for b in range(SIMHASH_BITS):
+        w = -(2**63) if b == 63 else 2**b  # two's complement high bit
+        fp_terms.append(
+            f"CASE WHEN s_{b} > 0 THEN CAST({w} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    fp = " + ".join(fp_terms)
     return f"""
 WITH {_SQL_TOK},
 terms AS (
@@ -833,7 +851,6 @@ SELECT CAST(id AS BIGINT) AS doc_id, CAST({fp} AS BIGINT) AS simhash FROM bit_su
 # -- similarity search ---------------------------------------------------------
 
 COSINE_K = 20
-LSH_DIMS = 4
 
 
 def _query_vec(spark, sf_dir) -> list[float]:
@@ -864,10 +881,23 @@ FROM vecd, q
 ORDER BY cosine DESC, vec_id LIMIT {COSINE_K}"""
 
 
+# seeded SRP-LSH parameters shared by the Spark query and the SQL oracle
+# (VERDICT r01 #4: real random hyperplanes, multi-table OR).  8 bits keeps
+# candidate sets non-trivial at the 500-vector driver scale; the 100-TB
+# recall/scale characterization (16 bits × 8 tables) lives in
+# tests/test_pipeline.py::test_srp_ann_recall.
+EMB_DIM = 64
+LSH_BITS = 8
+LSH_TABLES = 4
+LSH_SEED = 42
+LSH_PLANES = SS.srp_hyperplanes(EMB_DIM, LSH_BITS, LSH_TABLES, LSH_SEED)
+
+
 def q_cosine_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return SS.lsh_bucketed_topk(
-        emb, _query_vec(spark, sf_dir), COSINE_K, bucket_dims=LSH_DIMS
+        emb, _query_vec(spark, sf_dir), COSINE_K,
+        n_bits=LSH_BITS, n_tables=LSH_TABLES, seed=LSH_SEED,
     ).select(
         F.col("id").cast("long").alias("vec_id"),
         F.round("cosine", 6).alias("cosine"),
@@ -875,18 +905,79 @@ def q_cosine_lsh_topk(spark, sf_dir):
 
 
 def _sql_lsh() -> str:
-    bucket = " + ".join(
-        f"CASE WHEN v[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END" for i in range(LSH_DIMS)
+    bucket_cols = ",\n  ".join(
+        f"{SS.srp_bucket_sql('v', LSH_PLANES[t])} AS b_{t}"
+        for t in range(LSH_TABLES)
     )
+    qcols = ", ".join(f"b_{t} AS q_{t}" for t in range(LSH_TABLES))
+    cond = " OR ".join(f"b_{t} = q_{t}" for t in range(LSH_TABLES))
     return f"""
 WITH {_SQL_VECD},
-bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM vecd),
-qb AS (SELECT bucket AS qbucket, v AS qv FROM bucketed WHERE vec_id = 0)
+bucketed AS (SELECT vec_id, v,
+  {bucket_cols}
+  FROM vecd),
+qb AS (SELECT {qcols}, v AS qv FROM bucketed WHERE vec_id = 0)
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        round(round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9), 6) AS cosine
 FROM bucketed, qb
-WHERE bucket = qbucket
+WHERE {cond}
 ORDER BY cosine DESC, vec_id LIMIT {COSINE_K}"""
+
+
+EMB_DUP_THRESHOLD = 0.95
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs over embeddings ∪ exact copies of
+    vec_id%25==0 re-keyed +10000 (the base table has no near-dups, so the
+    synthetic copies exercise the SRP banding + threshold machinery with a
+    deterministic non-empty result — identical vectors share every SRP
+    bucket, so candidate recall for them is 1.0 by construction)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dups = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    combined = emb.unionByName(dups)
+    return DD.embedding_cosine_dup_pairs(
+        combined,
+        threshold=EMB_DUP_THRESHOLD,
+        dim=EMB_DIM,
+        n_bits=LSH_BITS,
+        n_tables=LSH_TABLES,
+        seed=LSH_SEED,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _sql_embedding_dups() -> str:
+    bucket_cols = ",\n  ".join(
+        f"{SS.srp_bucket_sql('v', LSH_PLANES[t])} AS b_{t}"
+        for t in range(LSH_TABLES)
+    )
+    # a pair is a candidate iff it shares a bucket in ANY table
+    cond = " OR ".join(f"a.b_{t} = b.b_{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH combined AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+),
+vecd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM combined
+),
+bucketed AS (SELECT vec_id, v,
+  {bucket_cols}
+  FROM vecd)
+SELECT DISTINCT CAST(a.vec_id AS BIGINT) AS id_a,
+       CAST(b.vec_id AS BIGINT) AS id_b,
+       round(round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9), 6) AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.vec_id < b.vec_id AND ({cond})
+WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) >= {EMB_DUP_THRESHOLD}"""
 
 
 # -- text analysis --------------------------------------------------------------
@@ -1046,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "cosine_lsh_topk": q_cosine_lsh_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1079,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "cosine_topk": SQL_COSINE_TOPK,
         "cosine_lsh_topk": _sql_lsh(),
+        "embedding_dup_pairs": _sql_embedding_dups(),
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_scores": _sql_quality(),
         "lang_id": _sql_lang_id(),

@@ -67,10 +67,17 @@ def test_minhash_lsh_finds_exact_and_near_dups(docs):
 def test_simhash_identical_and_unrelated(docs):
     fp = {r["id"]: r["simhash"] for r in DD.simhash(docs, "doc_id", "text").collect()}
     assert fp[0] == fp[1] == fp[5]
-    assert 0 <= fp[0] < 2**16
-    near_dist = bin(fp[0] ^ fp[2]).count("1")
-    far_dist = bin(fp[0] ^ fp[3]).count("1")
+    # 64-bit fingerprint in two's complement — full signed int64 range
+    assert -(2**63) <= fp[0] < 2**63
+    near_dist = bin((fp[0] ^ fp[2]) & (2**64 - 1)).count("1")
+    far_dist = bin((fp[0] ^ fp[3]) & (2**64 - 1)).count("1")
     assert near_dist <= far_dist
+    # 16-bit variant still supported and bounded
+    fp16 = {
+        r["id"]: r["simhash"]
+        for r in DD.simhash(docs, "doc_id", "text", bits=16).collect()
+    }
+    assert 0 <= fp16[0] < 2**16 and fp16[0] == fp16[1]
 
 
 def test_brute_force_and_lsh_cosine(spark):
@@ -85,15 +92,100 @@ def test_brute_force_and_lsh_cosine(spark):
     top = SS.brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], k=3).collect()
     assert [r["id"] for r in top] == [0, 1, 4]
     assert top[0]["cosine"] == 1.0
-    # LSH: query bucket from sign bits; doc 3 (opposite sign) pruned away
-    lsh = SS.lsh_bucketed_topk(emb, [1.0, 0.0, 0.0, 0.0], k=5, bucket_dims=4).collect()
+    # SRP LSH: the exact query vector always lands in its own buckets;
+    # the antipodal doc 3 flips EVERY hyperplane sign → never a candidate
+    lsh = SS.lsh_bucketed_topk(
+        emb, [1.0, 0.0, 0.0, 0.0], k=5, n_bits=8, n_tables=4, seed=7
+    ).collect()
     ids = [r["id"] for r in lsh]
     assert 3 not in ids and 0 in ids
-    # embedding near-dup pairs
+    # embedding near-dup pairs: exact dups share every bucket → found
+    rows2 = rows + [(5, [1.0, 0.0, 0.0, 0.0])]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
     pairs = DD.embedding_cosine_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.99, bucket_dims=4
+        emb2, "vec_id", "embedding", threshold=0.99, dim=4,
+        n_bits=8, n_tables=4, seed=7,
     ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(0, 5)}
     assert all(r["cosine"] >= 0.99 for r in pairs)
+
+
+def test_srp_ann_recall(spark, tmp_path):
+    """Recall@20 ≥ 0.9 vs brute force on a CLUSTERED corpus (the regime ANN
+    parameters target: near neighbors at cosine ≳ 0.95).  16 bits × 16
+    tables; also exercises the materialized partitioned index path."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    dim, n_clusters, per = 64, 40, 25
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.04 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    q = rows[0][1]  # a member of cluster 0
+    exact = [r["id"] for r in SS.brute_force_topk(emb, q, k=20).collect()]
+
+    approx = [
+        r["id"]
+        for r in SS.lsh_bucketed_topk(
+            emb, q, k=20, n_bits=16, n_tables=16, seed=42
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 20
+    assert recall >= 0.9, f"lsh_bucketed_topk recall@20 = {recall}"
+
+    # materialized index: same probe through partition filters
+    path = str(tmp_path / "ann")
+    SS.write_ann_index(emb, path, n_bits=16, n_tables=16, seed=42, dim=dim)
+    got = [
+        r["id"]
+        for r in SS.ann_search(
+            spark, path, q, k=20, n_bits=16, n_tables=16, seed=42
+        ).collect()
+    ]
+    recall2 = len(set(exact) & set(got)) / 20
+    assert recall2 >= 0.9, f"ann_search recall@20 = {recall2}"
+    # the probe must be a partition filter: 8 (table, bucket) partitions
+    import os
+
+    parts = [d for d in os.listdir(path) if d.startswith("table=")]
+    assert len(parts) == 16
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """A shingle shared by EVERY doc would drive a d² self-join blow-up;
+    the cap drops it before the join and jaccard is exact over the reduced
+    sets (VERDICT r01 #3)."""
+    hot = "common boilerplate header"
+    rows = [
+        (i, f"{hot} unique{i} filler{i} tail{i} pad{i}") for i in range(40)
+    ]
+    # two genuine near-dups sharing non-hot shingles
+    rows += [
+        (100, f"{hot} alpha beta gamma delta epsilon"),
+        (101, f"{hot} alpha beta gamma delta zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.3, hot_shingle_cap=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    # boilerplate-only overlaps are gone; the real near-dup pair survives
+    assert pairs == {(100, 101)}
+    # uncapped: the hot shingle glues every doc pair above 0 similarity —
+    # the join would be d²; at this tiny scale verify it changes results
+    uncapped = DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.3, hot_shingle_cap=None
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in uncapped} >= pairs
 
 
 def test_textstats(spark):
