@@ -51,6 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--b", type=float, default=0.75)
     c.add_argument("--buckets", type=int, default=32)
     c.add_argument("--blocks", action="store_true", help="also build the block engine store")
+    c.add_argument("--vector", action="store_true", help="also chunk+embed for semantic search")
     c.add_argument("--overwrite", action="store_true")
 
     q = sub.add_parser("query", help="search one or more indices")
@@ -63,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--exclude-path", action="append", default=None)
     q.add_argument("--engine", default="join", choices=["join", "blocks"])
     q.add_argument("--related-to", default=None, help="find docs related to this path instead")
+    q.add_argument("--semantic", action="store_true", help="chunk-level semantic search (needs create --vector)")
 
     bt = sub.add_parser("batch", help="set-at-a-time batch queries → JSONL")
     bt.add_argument("name")
@@ -75,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("stats", help="index statistics")
     s.add_argument("name")
+
+    inf = sub.add_parser("info", help="per-index metadata detail view")
+    inf.add_argument("name")
+    inf.add_argument("--format", "-f", default="simple", choices=["simple", "json"])
 
     sub.add_parser("list", help="list indices")
 
@@ -105,12 +111,18 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=args.buckets,
             overwrite=args.overwrite,
             build_block_engine=args.blocks,
+            build_vector_index=args.vector,
         )
         print(f"Created index '{args.name}': {m.num_docs} docs, avgdl {m.avgdl:.2f}")
     elif args.cmd == "query":
         *names, query = args.names
         if not names:
             p.error("usage: query <index...> <query>")
+        if args.semantic:
+            results = client.search_semantic(names[0], query, args.top)
+            print(FMT.format_semantic(results, query))
+            client.spark.stop()
+            return 0
         if args.related_to:
             results = client.search_related(names[0], args.related_to, args.top)
         elif len(names) == 1:
@@ -139,6 +151,12 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Updated '{args.name}': now {m.num_docs} docs")
     elif args.cmd == "stats":
         print(json.dumps(client.stats(args.name), indent=2))
+    elif args.cmd == "info":
+        meta = client.info(args.name)
+        if args.format == "json":
+            print(json.dumps(meta, indent=2, sort_keys=True))
+        else:
+            print(FMT.format_info(meta))
     elif args.cmd == "list":
         for info in client.list_indices():
             print(f"{info['name']}: {info['file_count']} docs (created {info['created_at']})")

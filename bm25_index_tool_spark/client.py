@@ -83,6 +83,7 @@ class BM25SparkClient:
         num_buckets: int = B.DEFAULT_NUM_BUCKETS,
         overwrite: bool = False,
         build_block_engine: bool = False,
+        build_vector_index: bool = False,
     ) -> B.IndexManifest:
         reg = self._read_registry()
         if name in reg and not overwrite:
@@ -100,6 +101,10 @@ class BM25SparkClient:
             from bm25_index_tool_spark.blocks import build_blocks
 
             build_blocks(self.spark, self._index_dir(name))
+        if build_vector_index:
+            from bm25_index_tool_spark.vector import build_vector_index as _bvi
+
+            _bvi(self.spark, self._index_dir(name))
         reg[name] = {
             "name": name,
             "created_at": manifest.created_at,
@@ -161,6 +166,46 @@ class BM25SparkClient:
             "avgdl": idx.manifest.avgdl,
             "num_buckets": idx.manifest.num_buckets,
         }
+
+    def info(self, name: str) -> dict:
+        """Per-index metadata detail view (reference ``commands/info.py:
+        21-165``): registry entry + manifest (params, tokenizer, location)
+        + vector-store metadata when present.  Metadata-only — no Spark
+        jobs (the reference reads only the registry here too)."""
+        reg = self._read_registry()
+        if name not in reg:
+            raise ValueError(f"Index '{name}' not found")
+        idx_dir = self._index_dir(name)
+        m = B.load_manifest(idx_dir)
+        out = {
+            "name": name,
+            "location": idx_dir,
+            "created_at": m.created_at,
+            "file_count": m.num_docs,
+            "avgdl": m.avgdl,
+            "num_buckets": m.num_buckets,
+            "index_version": m.index_version,
+            "bm25_params": dict(m.params.__dict__),
+            "tokenization": {
+                "profile": m.tokenizer_profile,
+                "stemmer": None,  # unicode61 has no stemmer (reference parity)
+                "stopwords": "related-terms only (78-word reference set)",
+            },
+            "source": m.source,
+            "engines": {
+                "join": True,
+                "blocks": os.path.exists(os.path.join(idx_dir, B.BLOCKS_DIR)),
+            },
+        }
+        vec_dir = os.path.join(idx_dir, "vector")
+        if os.path.exists(vec_dir):
+            from bm25_index_tool_spark.vector import FAKE_EMBED_DIM
+
+            out["vector_metadata"] = {
+                "embedding_model": "deterministic-stub (see vector.py)",
+                "dimensions": FAKE_EMBED_DIM,
+            }
+        return out
 
     # -- search --------------------------------------------------------------
 
@@ -280,6 +325,30 @@ class BM25SparkClient:
                 "name": r["filename"],
                 "score": r["score"],
                 "document_id": r["doc_id"],
+            }
+            for r in rows
+        ]
+
+    def search_semantic(
+        self, name: str, query: str, top_k: int = 10
+    ) -> list[dict[str, Any]]:
+        """Chunk-level semantic search (reference ``VectorSearcher.search``,
+        ``vector/searcher.py:40-120``): top_k*3 best chunks → per-document
+        best-chunk dedupe → top_k.  Result dicts mirror the reference's
+        (path, score, chunk_text, chunk_index, chunk_type)."""
+        from bm25_index_tool_spark.vector import semantic_search_index
+
+        self._require(name)
+        rows = semantic_search_index(
+            self.spark, self._index_dir(name), query, top_k
+        ).collect()
+        return [
+            {
+                "path": r["path"],
+                "score": r["score"],
+                "chunk_text": r["chunk_text"],
+                "chunk_index": r["chunk_index"],
+                "chunk_type": "text",
             }
             for r in rows
         ]

@@ -72,4 +72,51 @@ def format_batch_jsonl(
     return "\n".join(json.dumps(by_query[k]) for k in sorted(by_query))
 
 
+def format_semantic(results: list[dict[str, Any]], query: str = "") -> str:
+    """Semantic search results: best chunk per document (reference
+    ``commands/query.py`` semantic output shape)."""
+    if not results:
+        return "No results found."
+    lines = []
+    for i, r in enumerate(results, start=1):
+        lines.append(f"{i}. {r['path']}  (score: {r['score']:.4f})")
+        snippet = (r.get("chunk_text") or "")[:120].replace("\n", " ")
+        lines.append(f"   chunk {r['chunk_index']}: {snippet}")
+    return "\n".join(lines)
+
+
+def format_info(meta: dict[str, Any]) -> str:
+    """Human-readable index detail (reference ``commands/info.py:75-120``)."""
+    p = meta["bm25_params"]
+    lines = [
+        f"Index: {meta['name']}",
+        f"Location: {meta['location']}",
+        f"Created: {meta['created_at']}",
+        f"Files: {meta['file_count']:,}",
+        f"Buckets: {meta['num_buckets']}  (index v{meta['index_version']})",
+        "",
+        "BM25 Parameters:",
+        f"  k1: {p['k1']}",
+        f"  b: {p['b']}",
+        "",
+        "Tokenization:",
+        f"  Profile: {meta['tokenization']['profile']}",
+        f"  Stemmer: {meta['tokenization']['stemmer'] or 'disabled'}",
+        f"  Stopwords: {meta['tokenization']['stopwords']}",
+        "",
+        "Engines:",
+        f"  join: yes",
+        f"  blocks: {'yes' if meta['engines']['blocks'] else 'no'}",
+    ]
+    vm = meta.get("vector_metadata")
+    if vm:
+        lines += [
+            "",
+            "Vector Search:",
+            f"  Model: {vm['embedding_model']}",
+            f"  Dimensions: {vm['dimensions']}",
+        ]
+    return "\n".join(lines)
+
+
 FORMATTERS = {"simple": format_simple, "json": format_json, "table": format_table}

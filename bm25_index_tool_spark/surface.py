@@ -1094,6 +1094,122 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents"""
 
 
+# -- vector surface: word-window chunker (T4) + chunk-level search (J2) --------
+
+CHUNK_SIZE = 40
+CHUNK_OVERLAP = 10
+_CHUNK_STEP = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def q_chunks(spark, sf_dir):
+    """T4 word-window chunker over documents (doc_id < 50): reference
+    TextChunker semantics (vector/chunking.py:161-282) — windows of
+    CHUNK_SIZE words advancing by CHUNK_SIZE−CHUNK_OVERLAP, stop once a
+    window reaches the end.  chunk_md5 proves text equality."""
+    from bm25_index_tool_spark import vector as V
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50).select("doc_id", "text")
+    ch = V.chunk_documents(
+        docs, id_cols=["doc_id"], text_col="text",
+        chunk_size=CHUNK_SIZE, chunk_overlap=CHUNK_OVERLAP,
+    )
+    return ch.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("start_word").cast("long").alias("start_word"),
+        F.col("end_word").cast("long").alias("end_word"),
+        F.col("word_count").cast("long").alias("word_count"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+_SQL_CHUNKS_CTE = f"""
+w AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+  FROM documents {{where}}
+),
+counted AS (
+  SELECT doc_id, words, len(words) AS n,
+    CASE WHEN len(words) = 0 THEN 0
+         WHEN len(words) <= {CHUNK_SIZE} THEN 1
+         ELSE 1 + CAST(ceil((len(words) - {CHUNK_SIZE}) / {_CHUNK_STEP}.0) AS INT) END AS n_chunks
+  FROM w
+),
+c AS (
+  SELECT doc_id, words, n, CAST(i AS INT) AS chunk_index,
+         CAST(i * {_CHUNK_STEP} AS INT) AS start_word,
+         CAST(least(i * {_CHUNK_STEP} + {CHUNK_SIZE}, n) AS INT) AS end_word
+  FROM counted, unnest(range(0, n_chunks)) AS u(i)
+)"""
+
+SQL_CHUNKS = f"""
+WITH {_SQL_CHUNKS_CTE.format(where="WHERE doc_id < 50")}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_index AS BIGINT) AS chunk_index,
+       CAST(start_word AS BIGINT) AS start_word,
+       CAST(end_word AS BIGINT) AS end_word,
+       CAST(end_word - start_word AS BIGINT) AS word_count,
+       md5(array_to_string(words[start_word + 1:end_word], ' ')) AS chunk_md5
+FROM c"""
+
+
+SEMANTIC_K = 20
+
+
+def q_semantic_chunk_search(spark, sf_dir):
+    """J2 3-way join (chunks ⋈ vectors ⋈ query) + the reference searcher's
+    fetch-3k → per-doc-best-chunk dedupe → top-k (vector/searcher.py:
+    74-110).  Chunk embeddings come from the embeddings table via the
+    deterministic key (doc_id*7 + chunk_index) % 500 — a stand-in for the
+    model-generated vectors, keeping an exact SQL oracle."""
+    from bm25_index_tool_spark import vector as V
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200).select("doc_id", "text")
+    ch = V.chunk_documents(
+        docs, id_cols=["doc_id"], text_col="text",
+        chunk_size=CHUNK_SIZE, chunk_overlap=CHUNK_OVERLAP,
+    )
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    chunk_vecs = ch.withColumn(
+        "vec_id", (F.col("doc_id") * 7 + F.col("chunk_index")) % 500
+    ).join(emb, "vec_id")
+    res = V.semantic_search_chunks(
+        chunk_vecs, _query_vec(spark, sf_dir), SEMANTIC_K, doc_col="doc_id"
+    )
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+    )
+
+
+SQL_SEMANTIC_CHUNKS = f"""
+WITH {_SQL_CHUNKS_CTE.format(where="WHERE doc_id < 200")},
+vecd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM vecd WHERE vec_id = 0),
+scored AS (
+  SELECT c.doc_id, c.chunk_index,
+         round(list_dot_product(v.v, qv) / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(qv, qv))), 9) AS score
+  FROM c JOIN vecd v ON v.vec_id = (c.doc_id * 7 + c.chunk_index) % 500
+  CROSS JOIN q
+),
+fetched AS (
+  SELECT * FROM scored ORDER BY score DESC, doc_id, chunk_index LIMIT {SEMANTIC_K * 3}
+),
+dedup AS (
+  SELECT doc_id, score, chunk_index,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, chunk_index) AS rn
+  FROM fetched
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
+       CAST(chunk_index AS BIGINT) AS chunk_index
+FROM dedup WHERE rn = 1
+ORDER BY score DESC, doc_id LIMIT {SEMANTIC_K}"""
+
+
 # -- multimodal plumbing (no SQL oracle: mapInPandas; rows-only check) ---------
 
 
@@ -1138,6 +1254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_lsh_topk": q_cosine_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "chunks": q_chunks,
+        "semantic_chunk_search": q_semantic_chunk_search,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1172,6 +1290,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "cosine_lsh_topk": _sql_lsh(),
         "embedding_dup_pairs": _sql_embedding_dups(),
+        "chunks": SQL_CHUNKS,
+        "semantic_chunk_search": SQL_SEMANTIC_CHUNKS,
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_scores": _sql_quality(),
         "lang_id": _sql_lang_id(),

@@ -1,0 +1,274 @@
+"""Vector / semantic search surface (SURVEY.md §2 T4 + J2; VERDICT r01 #5).
+
+Reference semantics re-expressed Spark-first:
+
+* **Word-window chunker** (T4, reference ``vector/chunking.py:161-282``):
+  ``words = text.split()``; windows of ``chunk_size`` words advancing by
+  ``chunk_size − chunk_overlap``; iteration stops once a window reaches the
+  end (the reference's ``break if end >= len(words)``), so the final chunk
+  can be shorter and no empty windows are emitted.  Pure Column
+  expressions: split → sequence of window starts → transform/slice →
+  explode.  No UDF.
+* **Character-limit chunker** (reference ``vector/chunking.py:286-400``):
+  chunks longer than ``max_chars`` are truncated at the last word boundary
+  within the limit (hard truncation when a single word exceeds it).
+* **Chunk-level semantic search** (J2 + reference
+  ``vector/searcher.py:40-150``): query vector vs chunk embeddings —
+  fetch ``top_k*3`` best chunks, group by document keeping the best
+  chunk's score (per-doc max dedupe), order by score desc, limit
+  ``top_k``.  The over-fetch quirk is replicated: a query whose top-3k
+  chunks all hit few documents can return fewer than ``top_k`` docs.
+
+The reference embeds with AWS Bedrock (out of scope here, as in round 1's
+SURVEY §7 declaration).  ``fake_embedder`` below is a clearly-marked
+DETERMINISTIC STAND-IN (md5-seeded pseudo-vectors) so the chunk→embed→
+search plumbing is real and tested end-to-end; production deployments
+replace it with a model-serving pandas UDF of the same signature.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_CHUNK_SIZE = 300
+DEFAULT_CHUNK_OVERLAP = 50
+FAKE_EMBED_DIM = 32
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_cols: list[str],
+    text_col: str = "content",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
+    max_chars: int | None = None,
+) -> DataFrame:
+    """``df`` → one row per chunk: id_cols + (chunk_index, chunk_text,
+    start_word, end_word, word_count).  Declarative (split / sequence /
+    slice / explode) — Catalyst parallelizes per input row, no Python.
+
+    Raises ValueError when overlap >= size (reference ChunkingError,
+    ``vector/chunking.py:172-175``)."""
+    if chunk_overlap >= chunk_size:
+        raise ValueError(
+            f"Chunk overlap ({chunk_overlap}) must be less than chunk size ({chunk_size})"
+        )
+    step = chunk_size - chunk_overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # text.split() on empty/whitespace-only text yields [] → no chunks;
+    # Spark's split('') yields [''] — normalize that away
+    words = F.when(
+        (F.col(text_col).isNull()) | (F.trim(F.col(text_col)) == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(words)
+    n = F.size(words)
+    # number of windows: 1 if n <= size else 1 + ceil((n - size) / step)
+    # (the reference breaks as soon as a window reaches the end)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.when(n <= chunk_size, F.lit(1)).otherwise(
+            F.lit(1) + F.ceil((n - F.lit(chunk_size)) / F.lit(step)).cast("int")
+        )
+    )
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = (
+        df.withColumn("_words", words)
+        .withColumn("_n", n)
+        .withColumn("chunk_index", F.explode(idx))
+        .withColumn("start_word", F.col("chunk_index") * step)
+        .withColumn(
+            "end_word", F.least(F.col("start_word") + chunk_size, F.col("_n"))
+        )
+        .withColumn(
+            "chunk_text",
+            F.array_join(
+                F.slice(
+                    "_words",
+                    F.col("start_word") + 1,
+                    F.col("end_word") - F.col("start_word"),
+                ),
+                " ",
+            ),
+        )
+    )
+    if max_chars is not None:
+        out = out.withColumn(
+            "chunk_text", truncate_at_word_boundary(F.col("chunk_text"), max_chars)
+        )
+    out = out.withColumn(
+        "word_count",
+        F.when(
+            F.col("chunk_text") == "", F.lit(0)
+        ).otherwise(F.size(F.split(F.col("chunk_text"), r"\s+"))),
+    )
+    return out.select(
+        *id_cols, "chunk_index", "chunk_text", "start_word", "end_word", "word_count"
+    )
+
+
+def truncate_at_word_boundary(text: F.Column, max_chars: int) -> F.Column:
+    """Reference CharacterLimitChunker._truncate_text: keep text ≤
+    max_chars; otherwise cut at the last space within the limit, hard-cut
+    when there is none (single giant word)."""
+    head = F.substring(text, 1, max_chars)
+    # position of last space in head == len(head) - locate(' ', reverse)
+    rev_pos = F.locate(" ", F.reverse(head))
+    at_space = F.substring(
+        text, F.lit(1), F.length(head) - rev_pos
+    )
+    return F.when(F.length(text) <= max_chars, text).otherwise(
+        F.when(rev_pos > 0, at_space).otherwise(head)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stand-in embedder (STUB for a model-serving UDF)
+# ---------------------------------------------------------------------------
+
+
+def _fake_vector(text: str, dim: int = FAKE_EMBED_DIM) -> list[float]:
+    """md5-seeded pseudo-embedding in [-1, 1]^dim, L2-normalized.
+    DETERMINISTIC STAND-IN for a real embedding model (the reference calls
+    AWS Bedrock here, ``vector/embeddings.py`` — unavailable offline)."""
+    out = np.empty(dim, dtype=np.float64)
+    for j in range(0, dim, 4):
+        h = hashlib.md5(f"{j}|{text}".encode()).digest()
+        vals = struct.unpack(">4i", h[:16])
+        for k, v in enumerate(vals):
+            if j + k < dim:
+                out[j + k] = v / 2**31
+    nrm = float(np.linalg.norm(out))
+    if nrm > 0:
+        out /= nrm
+    return [float(x) for x in out]
+
+
+def fake_embed_udf(dim: int = FAKE_EMBED_DIM):
+    """Vectorized pandas UDF ``string -> array<float>`` — swap in a real
+    model UDF (same signature) for production."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        return texts.fillna("").map(lambda t: _fake_vector(t, dim))
+
+    return embed
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level semantic search (J2: chunks ⋈ vectors ⋈ docs)
+# ---------------------------------------------------------------------------
+
+
+def semantic_search_chunks(
+    chunk_vecs: DataFrame,
+    query_vec: list[float],
+    top_k: int = 10,
+    *,
+    doc_col: str = "path",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reference searcher semantics (``vector/searcher.py:74-110``):
+    take the ``top_k*3`` highest-cosine CHUNKS, dedupe by document keeping
+    each document's best chunk, order by score desc, limit ``top_k``.
+
+    Input: one row per chunk with at least (doc_col, chunk_index,
+    chunk_text, vec_col).  Output: (doc_col, score, chunk_text,
+    chunk_index) — score = cosine similarity (the reference's
+    ``1 − cosine_distance``)."""
+    from pyspark.sql.window import Window
+
+    from bm25_index_tool_spark.pipeline.simsearch import cosine_expr
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    fetch_k = top_k * 3
+    scored = (
+        chunk_vecs.withColumn(
+            "score", F.round(cosine_expr(F.col(vec_col), q), 9)
+        )
+        .orderBy(F.desc("score"), F.asc(doc_col), F.asc("chunk_index"))
+        .limit(fetch_k)
+    )
+    w = Window.partitionBy(doc_col).orderBy(
+        F.desc("score"), F.asc("chunk_index")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(doc_col, "score", "chunk_text", "chunk_index")
+        .orderBy(F.desc("score"), F.asc(doc_col))
+        .limit(top_k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-index vector store (chunks + embeddings under index_dir/vector/)
+# ---------------------------------------------------------------------------
+
+VECTOR_DIR = "vector"
+
+
+def build_vector_index(
+    spark,
+    index_dir: str,
+    *,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
+    max_chars: int | None = 48_000,
+    dim: int = FAKE_EMBED_DIM,
+) -> dict:
+    """Chunk the index's docs table and embed every chunk; write
+    ``index_dir/vector/`` parquet (path, chunk_index, chunk_text,
+    word_count, embedding).  Embedding is the deterministic stand-in —
+    see module docstring."""
+    import os
+
+    from bm25_index_tool_spark import build as B
+
+    docs = spark.read.parquet(os.path.join(index_dir, B.DOCS_DIR))
+    chunks = chunk_documents(
+        docs.select(F.col("full_path").alias("path"), "content"),
+        id_cols=["path"],
+        text_col="content",
+        chunk_size=chunk_size,
+        chunk_overlap=chunk_overlap,
+        max_chars=max_chars,
+    )
+    embed = fake_embed_udf(dim)
+    out_path = os.path.join(index_dir, VECTOR_DIR)
+    from pyspark.sql import Observation
+
+    obs = Observation("vector_metrics")
+    (
+        chunks.withColumn("embedding", embed(F.col("chunk_text")))
+        .observe(obs, F.count(F.lit(1)).alias("n_chunks"))
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return {"n_chunks": obs.get["n_chunks"], "dim": dim}
+
+
+def semantic_search_index(
+    spark, index_dir: str, query: str, top_k: int = 10, *, dim: int = FAKE_EMBED_DIM
+) -> DataFrame:
+    """Client entry: embed the query (stand-in embedder), search the
+    materialized chunk vectors, per-doc dedupe, top-k."""
+    import os
+
+    path = os.path.join(index_dir, VECTOR_DIR)
+    if not os.path.exists(path):
+        raise ValueError(
+            f"Vector index not found under {index_dir}; create with "
+            "build_vector_index (or create_index(build_vector_index=True))"
+        )
+    qv = _fake_vector(query, dim)
+    return semantic_search_chunks(
+        spark.read.parquet(path), qv, top_k, doc_col="path"
+    )

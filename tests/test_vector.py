@@ -1,0 +1,165 @@
+"""Vector surface tests (T4 chunker + J2 chunk-level search): differential
+against a driver-side replication of the reference's TextChunker /
+CharacterLimitChunker / VectorSearcher loops (reference
+vector/chunking.py:161-421, vector/searcher.py:40-150)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bm25_index_tool_spark import vector as V
+
+
+def reference_chunks(text: str, size: int, overlap: int) -> list[dict]:
+    """Verbatim replication of reference TextChunker.chunk_text
+    (vector/chunking.py:191-242)."""
+    words = text.split()
+    if not words:
+        return []
+    out = []
+    step = size - overlap
+    start, idx = 0, 0
+    while start < len(words):
+        end = min(start + size, len(words))
+        cw = words[start:end]
+        out.append(
+            {
+                "chunk_index": idx,
+                "chunk_text": " ".join(cw),
+                "start_word": start,
+                "end_word": end,
+                "word_count": len(cw),
+            }
+        )
+        start += step
+        idx += 1
+        if end >= len(words):
+            break
+    return out
+
+
+CHUNK_TEXTS = [
+    "",
+    "   ",
+    "one",
+    " ".join(f"w{i}" for i in range(5)),     # < size
+    " ".join(f"w{i}" for i in range(10)),    # == size
+    " ".join(f"w{i}" for i in range(11)),    # size + 1 → 2 chunks
+    " ".join(f"w{i}" for i in range(25)),    # several windows
+    " ".join(f"w{i}" for i in range(17)),    # final short window
+    "a  b\t c \n d",                         # mixed whitespace runs
+]
+
+
+@pytest.mark.parametrize("size,overlap", [(10, 3), (10, 0), (4, 2)])
+def test_chunker_matches_reference_loop(spark, size, overlap):
+    rows = [(i, t) for i, t in enumerate(CHUNK_TEXTS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = V.chunk_documents(
+        df, id_cols=["doc_id"], text_col="text",
+        chunk_size=size, chunk_overlap=overlap,
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(CHUNK_TEXTS):
+        exp = reference_chunks(text, size, overlap)
+        rows_i = sorted(by_doc.get(i, []), key=lambda r: r["chunk_index"])
+        assert len(rows_i) == len(exp), (i, text)
+        for g, e in zip(rows_i, exp):
+            for k in ("chunk_index", "chunk_text", "start_word", "end_word", "word_count"):
+                assert g[k] == e[k], (i, k, g[k], e[k])
+
+
+def test_chunker_overlap_validation(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must be less than"):
+        V.chunk_documents(df, id_cols=["doc_id"], text_col="text",
+                          chunk_size=5, chunk_overlap=5)
+
+
+def reference_truncate(text: str, max_chars: int) -> str:
+    """Reference CharacterLimitChunker._truncate_text (chunking.py:364-393)."""
+    if len(text) <= max_chars:
+        return text
+    truncated = text[:max_chars]
+    last_space = truncated.rfind(" ")
+    return truncated[:last_space] if last_space > 0 else truncated
+
+
+def test_char_limit_truncation(spark):
+    texts = [
+        "short text",
+        "word " * 50,                      # truncate at a word boundary
+        "x" * 100,                         # single giant word → hard cut
+        "ab " + "y" * 60,                  # space early, then giant word
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", V.truncate_at_word_boundary(F.col("text"), 40).alias("t")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == reference_truncate(t, 40), i
+
+
+def test_semantic_search_dedupe_semantics(spark):
+    """Reference searcher (vector/searcher.py:74-110): fetch top_k*3 CHUNKS,
+    per-document best chunk, sort desc, top_k — including the quirk that
+    fewer than top_k documents can return when the 3k best chunks
+    concentrate in few documents."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    qv = [1.0, 0.0, 0.0, 0.0]
+    rows = []
+    # doc A: 4 chunks all very close to the query — fills a top_k=1 fetch
+    # set (3 chunks) alone, but leaves room for B in a top_k=2 fetch (6)
+    for i in range(4):
+        v = [1.0, 0.01 * i, 0.0, 0.0]
+        rows.append(("A", i, f"a{i}", v))
+    # doc B: one medium chunk; doc C: one far chunk
+    rows.append(("B", 0, "b0", [0.7, 0.7, 0.0, 0.0]))
+    rows.append(("C", 0, "c0", [0.0, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "path string, chunk_index int, chunk_text string, embedding array<float>"
+    )
+    got = V.semantic_search_chunks(df, qv, top_k=2, doc_col="path").collect()
+    # doc A's best chunk (index 0, cosine 1.0) wins; B second
+    assert [r["path"] for r in got] == ["A", "B"]
+    assert got[0]["chunk_index"] == 0 and got[0]["score"] == 1.0
+    assert got[0]["chunk_text"] == "a0"
+
+    # quirk replication: top_k=1 fetches 3 chunks — all from A → one doc
+    got1 = V.semantic_search_chunks(df, qv, top_k=1, doc_col="path").collect()
+    assert [r["path"] for r in got1] == ["A"]
+
+
+def test_client_semantic_end_to_end(spark, tmp_path):
+    from bm25_index_tool_spark import corpus as C
+    from bm25_index_tool_spark.client import BM25SparkClient
+
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    rows = C.generate_rows(30, seed=13)
+    client.create_index(
+        "vec", spark.createDataFrame(rows, C.CORPUS_SCHEMA),
+        num_buckets=4, build_vector_index=True,
+    )
+    res = client.search_semantic("vec", "kubernetes networking", top_k=5)
+    assert 0 < len(res) <= 5
+    paths = [r["path"] for r in res]
+    assert len(paths) == len(set(paths)), "per-document dedupe"
+    assert all(r["chunk_type"] == "text" and r["chunk_text"] for r in res)
+    # deterministic stand-in embedder → identical reruns
+    res2 = client.search_semantic("vec", "kubernetes networking", top_k=5)
+    assert res == res2
+    # info view reports the vector store
+    meta = client.info("vec")
+    assert meta["vector_metadata"]["dimensions"] == V.FAKE_EMBED_DIM
+    with pytest.raises(ValueError, match="not found"):
+        client.info("nope")
