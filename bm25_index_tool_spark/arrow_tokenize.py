@@ -36,21 +36,31 @@ from bm25_index_tool_spark.tokenize import _TOKEN_RE, fold_unicode61
 
 _ASCII_SPLIT_PATTERN = "[^a-z0-9]+"
 
-TF_SCHEMA = "doc_id long, term string, tf int"
+# dl (per-doc total token count) is computed INSIDE the tokenize worker —
+# each document lives in exactly one input row, so its total is complete
+# within the batch.  Denormalizing dl here removes the doc_id shuffle the
+# build would otherwise need (groupBy or window) just to attach lengths.
+TF_SCHEMA = "doc_id long, term string, tf int, dl int"
 
 
-def _python_rows(doc_ids, texts) -> tuple[list[int], list[str], list[int]]:
+def _python_rows(
+    doc_ids, texts
+) -> tuple[list[int], list[str], list[int], list[int]]:
     """Exact-path fallback for non-ASCII rows (rare)."""
     out_ids: list[int] = []
     out_terms: list[str] = []
     out_tfs: list[int] = []
+    out_dls: list[int] = []
     for did, txt in zip(doc_ids, texts):
         folded = fold_unicode61(txt)
-        for term, tf in Counter(_TOKEN_RE.findall(folded)).items():
+        counts = Counter(_TOKEN_RE.findall(folded))
+        dl = sum(counts.values())
+        for term, tf in counts.items():
             out_ids.append(did)
             out_terms.append(term)
             out_tfs.append(tf)
-    return out_ids, out_terms, out_tfs
+            out_dls.append(dl)
+    return out_ids, out_terms, out_tfs, out_dls
 
 
 def _pin_arrow_threads() -> None:
@@ -88,7 +98,13 @@ def _batch_term_freqs(batch: pa.RecordBatch) -> pa.RecordBatch:
         slow_ids = pc.filter(doc_ids, inv)
         slow_text = pc.filter(raw, inv)
 
-    # C++ path: split → flatten → parent index → filter empties → group count
+    # C++ path: split → flatten → parent index → filter empties.  dl (per-
+    # doc total token count) is an O(n) bincount over the parent indices —
+    # each doc is one input row, so its token count is complete here; dl
+    # rides the pair table into the group-by as a constant-per-doc column
+    # (min-aggregated), costing no sort and no second pass.
+    import numpy as np
+
     token_lists = pc.split_pattern_regex(fast_text, pattern=_ASCII_SPLIT_PATTERN)
     flat = pc.list_flatten(token_lists)
     parents = pc.list_parent_indices(token_lists)
@@ -96,32 +112,45 @@ def _batch_term_freqs(batch: pa.RecordBatch) -> pa.RecordBatch:
     flat = pc.filter(flat, nonempty)
     parents = pc.filter(parents, nonempty)
     pair_ids = pc.take(fast_ids, parents)
-    tbl = pa.table({"doc_id": pair_ids, "term": flat})
+    parents_np = parents.to_numpy(zero_copy_only=False)
+    dl_row = np.bincount(parents_np, minlength=len(fast_ids)).astype(np.int64)
+    tbl = pa.table(
+        {
+            "doc_id": pair_ids,
+            "term": flat,
+            "dl": pa.array(dl_row[parents_np], pa.int64()),
+        }
+    )
     agg = tbl.group_by(["doc_id", "term"], use_threads=False).aggregate(
-        [([], "count_all")]
+        [([], "count_all"), ("dl", "min")]
     )
     ids_a = agg.column("doc_id")
     terms_a = agg.column("term")
     tfs_a = agg.column("count_all")
+    dls_a = agg.column("dl_min")
+
+    def _flat(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
     if slow_ids is not None and len(slow_ids):
-        s_ids, s_terms, s_tfs = _python_rows(
+        s_ids, s_terms, s_tfs, s_dls = _python_rows(
             slow_ids.to_pylist(), slow_text.to_pylist()
         )
-        ids_a = pa.chunked_array([*ids_a.chunks, pa.array(s_ids, pa.int64())])
-        terms_a = pa.chunked_array([*terms_a.chunks, pa.array(s_terms, pa.string())])
-        tfs_a = pa.chunked_array([*tfs_a.chunks, pa.array(s_tfs, pa.int64())])
+        ids_a = pa.chunked_array([_flat(ids_a), pa.array(s_ids, pa.int64())])
+        terms_a = pa.chunked_array([_flat(terms_a), pa.array(s_terms, pa.string())])
+        tfs_a = pa.chunked_array([_flat(tfs_a), pa.array(s_tfs, pa.int64())])
+        dls_a = pa.chunked_array(
+            [pc.cast(_flat(dls_a), pa.int64()), pa.array(s_dls, pa.int64())]
+        )
 
     return pa.RecordBatch.from_arrays(
         [
-            ids_a.combine_chunks() if isinstance(ids_a, pa.ChunkedArray) else ids_a,
-            terms_a.combine_chunks() if isinstance(terms_a, pa.ChunkedArray) else terms_a,
-            pc.cast(
-                tfs_a.combine_chunks() if isinstance(tfs_a, pa.ChunkedArray) else tfs_a,
-                pa.int32(),
-            ),
+            _flat(ids_a),
+            _flat(terms_a),
+            pc.cast(_flat(tfs_a), pa.int32()),
+            pc.cast(_flat(dls_a), pa.int32()),
         ],
-        names=["doc_id", "term", "tf"],
+        names=["doc_id", "term", "tf", "dl"],
     )
 
 

@@ -438,23 +438,30 @@ def _build(
         out = docs_derived_columns(ids).withColumn(
             "doc_pt", F.pmod(F.col("doc_id"), F.lit(num_buckets))
         )
-        # Observation: row count rides along with the write — no read-back job
+        # Observation: row count rides along with the write — no read-back
+        # job and no up-front emptiness probe (isEmpty would re-run the id
+        # assignment).  A dynamic partitionBy write of an empty relation
+        # leaves an unreadable dir; detect that from the observed count
+        # afterwards and replace with a schema'd empty plain parquet.
         from pyspark.sql import Observation
 
         obs = Observation("docs_metrics")
         out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
-        if ids.isEmpty():
-            # dynamic partitionBy writes nothing for an empty relation
-            out.write.mode("overwrite").parquet(docs_path)
-            return {"rows": 0}
+        # no sortWithinPartitions here: sorting full content rows costs real
+        # CPU+spill and nothing reads docs in doc_id order (lookups prune by
+        # doc_pt; top-k joins broadcast)
         (
             out.repartition(num_buckets, "doc_pt")
-            .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .partitionBy("doc_pt")
             .parquet(docs_path)
         )
-        return {"rows": obs.get["rows"]}
+        rows = obs.get["rows"]
+        if rows == 0:
+            spark.createDataFrame([], out.schema).write.mode(
+                "overwrite"
+            ).parquet(docs_path)
+        return {"rows": rows}
 
     m_docs = _stage("docs", _docs)
     num_docs = m_docs["rows"]
@@ -485,29 +492,33 @@ def _build(
     # profiles (e.g. 'code') keep the general pandas-UDF path.
     repart = docs.repartition(tokenize_parallelism, "doc_id")
     if tokenizer_profile == "unicode61":
+        # dl arrives denormalized from the Arrow worker (each doc is one
+        # input row → its total token count is complete in-batch): postings
+        # need NO doc_id shuffle at all downstream of the tokenizer.
         tfs = doc_term_freqs(repart, _fts_document())
     else:
+        from pyspark.sql.window import Window
+
         tfs = (
             repart.select("doc_id", F.explode(tok(_fts_document())).alias("term"))
             .groupBy("doc_id", "term")
             .agg(F.count("*").cast("int").alias("tf"))
+            .withColumn(
+                "dl",
+                F.sum("tf").over(Window.partitionBy("doc_id")).cast("int"),
+            )
         )
     tfs = tfs.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _postings() -> dict:
-        # dl denormalized via a window sum over doc_id — ONE shuffle, no
-        # separate doclens table write+read (the former doclens stage
-        # dominated low-parallelism builds; VERDICT r01 #5).  avgdl/total
+        # dl is already denormalized in tfs (computed inside the tokenize
+        # worker — zero extra shuffle; the former separate doclens stage
+        # dominated low-parallelism builds, VERDICT r01 #5).  avgdl/total
         # tokens ride along on the write via Observation.
         from pyspark.sql import Observation
-        from pyspark.sql.window import Window
 
-        post = (
-            tfs.withColumn(
-                "dl",
-                F.sum("tf").over(Window.partitionBy("doc_id")).cast("int"),
-            )
-            .withColumn("bucket", F.pmod(F.hash("term"), F.lit(num_buckets)))
+        post = tfs.withColumn(
+            "bucket", F.pmod(F.hash("term"), F.lit(num_buckets))
         )
         if num_docs == 0:
             # dynamic partitionBy writes no files for an empty relation,

@@ -47,9 +47,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("name")
     c.add_argument("--corpus", required=True, help="parquet with (repo,path,commit,lang,content)")
     c.add_argument("--profile", default="unicode61", choices=["unicode61", "code"])
-    c.add_argument("--k1", type=float, default=1.2)
-    c.add_argument("--b", type=float, default=0.75)
-    c.add_argument("--buckets", type=int, default=32)
+    c.add_argument("--k1", type=float, default=None)
+    c.add_argument("--b", type=float, default=None)
+    c.add_argument(
+        "--bm25-profile", default=None, choices=["standard", "code"],
+        help="named (k1,b) profile: standard=(1.5,0.75), code=(1.2,0.5)",
+    )
+    c.add_argument("--buckets", type=int, default=None, help="term-hash buckets (default: config.toml or 32)")
     c.add_argument("--blocks", action="store_true", help="also build the block engine store")
     c.add_argument("--vector", action="store_true", help="also chunk+embed for semantic search")
     c.add_argument("--overwrite", action="store_true")
@@ -91,7 +95,17 @@ def main(argv: list[str] | None = None) -> int:
     h.add_argument("--search", default=None)
     h.add_argument("-n", "--top", type=int, default=10)
 
+    comp = sub.add_parser("completion", help="emit a shell completion script")
+    comp.add_argument("shell", choices=["bash", "zsh", "fish"])
+
     args = p.parse_args(argv)
+
+    # completion needs no Spark session — handle before client startup
+    if args.cmd == "completion":
+        from bm25_index_tool_spark.completion import generate
+
+        print(generate(args.shell))
+        return 0
 
     import json
 
@@ -101,13 +115,28 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "create":
         from bm25_index_tool_spark.build import BM25Params
+        from bm25_index_tool_spark.config import params_from_profile
+        from bm25_index_tool_spark.sources import read_corpus
 
-        corpus = client.spark.read.parquet(args.corpus)
+        corpus = read_corpus(client.spark, args.corpus)
+        if args.bm25_profile:
+            params = params_from_profile(args.bm25_profile)
+            if args.k1 is not None:
+                params.k1 = args.k1
+            if args.b is not None:
+                params.b = args.b
+        elif args.k1 is not None or args.b is not None:
+            params = BM25Params(
+                k1=args.k1 if args.k1 is not None else 1.2,
+                b=args.b if args.b is not None else 0.75,
+            )
+        else:
+            params = None  # fall through to <root>/config.toml defaults
         m = client.create_index(
             args.name,
             corpus,
             tokenizer_profile=args.profile,
-            params=BM25Params(k1=args.k1, b=args.b),
+            params=params,
             num_buckets=args.buckets,
             overwrite=args.overwrite,
             build_block_engine=args.blocks,
@@ -146,7 +175,9 @@ def main(argv: list[str] | None = None) -> int:
         rows = [r.asDict() for r in client.batch_search(args.name, queries, args.top).collect()]
         print(FMT.format_batch_jsonl(rows, queries))
     elif args.cmd == "update":
-        corpus = client.spark.read.parquet(args.corpus)
+        from bm25_index_tool_spark.sources import read_corpus
+
+        corpus = read_corpus(client.spark, args.corpus)
         m = client.update_index(args.name, corpus)
         print(f"Updated '{args.name}': now {m.num_docs} docs")
     elif args.cmd == "stats":

@@ -36,10 +36,14 @@ class BM25SparkClient:
     them (reference ``storage/registry.py:16-141`` role)."""
 
     def __init__(self, spark: SparkSession, root_dir: str):
+        from bm25_index_tool_spark.config import load_config
+
         self.spark = spark
         self.root = root_dir
         os.makedirs(root_dir, exist_ok=True)
-        self.cache = SearchCache(max_size=100)
+        # global TOML config (<root>/config.toml): engine-wide defaults
+        self.config = load_config(root_dir)
+        self.cache = SearchCache(max_size=self.config.search_cache_size)
         self.history = SearchHistory(spark, os.path.join(root_dir, "_history"))
         self._open: dict[str, LoadedIndex] = {}
 
@@ -78,13 +82,15 @@ class BM25SparkClient:
         name: str,
         corpus: DataFrame,
         *,
-        tokenizer_profile: str = "unicode61",
+        tokenizer_profile: str | None = None,
         params: B.BM25Params | None = None,
-        num_buckets: int = B.DEFAULT_NUM_BUCKETS,
+        num_buckets: int | None = None,
         overwrite: bool = False,
         build_block_engine: bool = False,
         build_vector_index: bool = False,
     ) -> B.IndexManifest:
+        from bm25_index_tool_spark.config import validate_params
+
         reg = self._read_registry()
         if name in reg and not overwrite:
             raise ValueError(f"Index '{name}' already exists")
@@ -93,9 +99,10 @@ class BM25SparkClient:
             corpus,
             self._index_dir(name),
             name=name,
-            tokenizer_profile=tokenizer_profile,
-            params=params,
-            num_buckets=num_buckets,
+            tokenizer_profile=tokenizer_profile
+            or self.config.default_tokenizer_profile,
+            params=validate_params(params) if params else self.config.bm25_params(),
+            num_buckets=num_buckets or self.config.default_num_buckets,
         )
         if build_block_engine:
             from bm25_index_tool_spark.blocks import build_blocks

@@ -12,6 +12,17 @@ from typing import Any
 CONTENT_TRUNCATE = 500
 
 
+def _content_with_lines(content: str, max_length: int | None) -> str:
+    """Reference ``_format_content_with_lines`` (core/formatters.py:16-37):
+    optional truncation with a '... (truncated, N more characters)' trailer,
+    then 4-wide line numbers."""
+    lines = content.splitlines()
+    if max_length is not None and len(content) > max_length:
+        lines = content[:max_length].splitlines()
+        lines.append(f"... (truncated, {len(content) - max_length} more characters)")
+    return "\n".join(f"{i + 1:4d} | {line}" for i, line in enumerate(lines))
+
+
 def format_simple(results: list[dict[str, Any]], query: str = "") -> str:
     if not results:
         return "No results found."
@@ -23,6 +34,11 @@ def format_simple(results: list[dict[str, Any]], query: str = "") -> str:
                 f"   L{frag['line_start']}-{frag['line_end']}: "
                 + " / ".join(frag["lines"][:2])
             )
+        content = r.get("content")
+        if content:
+            lines.append("   Content:")
+            for ln in _content_with_lines(content, CONTENT_TRUNCATE).splitlines():
+                lines.append(f"   {ln}")
     return "\n".join(lines)
 
 

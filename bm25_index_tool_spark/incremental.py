@@ -186,8 +186,10 @@ def apply_update(
     if manifest.tokenizer_profile == "unicode61":
         from bm25_index_tool_spark.arrow_tokenize import doc_term_freqs
 
-        tfs = doc_term_freqs(repart, B._fts_document())
+        tfs = doc_term_freqs(repart, B._fts_document())  # dl included
     else:
+        from pyspark.sql.window import Window
+
         from bm25_index_tool_spark.tokenize import tokenizer_for
 
         tok = tokenizer_for(manifest.tokenizer_profile)
@@ -195,16 +197,15 @@ def apply_update(
             repart.select("doc_id", F.explode(tok(B._fts_document())).alias("term"))
             .groupBy("doc_id", "term")
             .agg(F.count("*").cast("int").alias("tf"))
+            .withColumn(
+                "dl",
+                F.sum("tf").over(Window.partitionBy("doc_id")).cast("int"),
+            )
         )
-    from pyspark.sql.window import Window
 
-    delta_post = (
-        tfs.withColumn(
-            "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
-        )
-        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(nb)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    delta_post = tfs.withColumn(
+        "bucket", F.pmod(F.hash("term"), F.lit(nb))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     agg = delta_post.agg(
         F.coalesce(F.sum("tf"), F.lit(0)).alias("tokens"),
         F.collect_set("bucket").alias("buckets"),

@@ -59,3 +59,51 @@ def test_batch_jsonl_order_and_grouping():
     q0 = json.loads(lines[0])
     assert q0["query_id"] == 0 and [r["rank"] for r in q0["results"]] == [1, 2]
     assert json.loads(lines[1])["query_id"] == 1
+
+
+def test_completion_scripts_generate():
+    from bm25_index_tool_spark.completion import COMMANDS, generate
+
+    bash = generate("bash")
+    zsh = generate("zsh")
+    fish = generate("fish")
+    for cmd in COMMANDS:
+        assert cmd in bash and cmd in zsh and cmd in fish
+    assert "--semantic" in bash and "compdef" in zsh
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported shell"):
+        generate("powershell")
+
+
+def test_format_info_and_semantic():
+    from bm25_index_tool_spark.formatters import format_info, format_semantic
+
+    meta = {
+        "name": "x", "location": "/tmp/x", "created_at": "t", "file_count": 12,
+        "num_buckets": 8, "index_version": 1,
+        "bm25_params": {"k1": 1.2, "b": 0.75},
+        "tokenization": {"profile": "unicode61", "stemmer": None, "stopwords": "s"},
+        "engines": {"join": True, "blocks": False},
+        "vector_metadata": {"embedding_model": "stub", "dimensions": 32},
+    }
+    out = format_info(meta)
+    assert "Index: x" in out and "k1: 1.2" in out and "Vector Search:" in out
+    sem = format_semantic(
+        [{"path": "a", "score": 0.5, "chunk_text": "hello world", "chunk_index": 1}], "q"
+    )
+    assert "1. a" in sem and "chunk 1: hello world" in sem
+    assert format_semantic([], "q") == "No results found."
+
+
+def test_simple_content_truncation_suffix():
+    from bm25_index_tool_spark.formatters import format_simple
+
+    long_content = "line1\n" + "x" * 600
+    out = format_simple(
+        [{"path": "a", "score": 1.0, "content": long_content}], "q"
+    )
+    assert "... (truncated, 106 more characters)" in out
+    assert "   1 | line1" in out
+    short = format_simple([{"path": "a", "score": 1.0, "content": "ab\ncd"}], "q")
+    assert "truncated" not in short and "   2 | cd" in short
