@@ -98,11 +98,12 @@ def _batch_term_freqs(batch: pa.RecordBatch) -> pa.RecordBatch:
         slow_ids = pc.filter(doc_ids, inv)
         slow_text = pc.filter(raw, inv)
 
-    # C++ path: split → flatten → parent index → filter empties.  dl (per-
-    # doc total token count) is an O(n) bincount over the parent indices —
-    # each doc is one input row, so its token count is complete here; dl
-    # rides the pair table into the group-by as a constant-per-doc column
-    # (min-aggregated), costing no sort and no second pass.
+    # C++ path: split → flatten → parent index → filter empties → group
+    # count.  dl (per-doc total token count) is an O(n) bincount over the
+    # parent indices — each doc is one input row, so its count is complete
+    # here — attached AFTER the group-by via a searchsorted doc_id → batch
+    # row lookup (a per-token dl column through the group-by costs ~30%,
+    # measured; the post-agg gather touches only the ~7× smaller agg set).
     import numpy as np
 
     token_lists = pc.split_pattern_regex(fast_text, pattern=_ASCII_SPLIT_PATTERN)
@@ -112,25 +113,29 @@ def _batch_term_freqs(batch: pa.RecordBatch) -> pa.RecordBatch:
     flat = pc.filter(flat, nonempty)
     parents = pc.filter(parents, nonempty)
     pair_ids = pc.take(fast_ids, parents)
-    parents_np = parents.to_numpy(zero_copy_only=False)
-    dl_row = np.bincount(parents_np, minlength=len(fast_ids)).astype(np.int64)
-    tbl = pa.table(
-        {
-            "doc_id": pair_ids,
-            "term": flat,
-            "dl": pa.array(dl_row[parents_np], pa.int64()),
-        }
-    )
+    tbl = pa.table({"doc_id": pair_ids, "term": flat})
     agg = tbl.group_by(["doc_id", "term"], use_threads=False).aggregate(
-        [([], "count_all"), ("dl", "min")]
+        [([], "count_all")]
     )
     ids_a = agg.column("doc_id")
     terms_a = agg.column("term")
     tfs_a = agg.column("count_all")
-    dls_a = agg.column("dl_min")
 
     def _flat(a):
         return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    parents_np = parents.to_numpy(zero_copy_only=False)
+    dl_row = np.bincount(parents_np, minlength=len(fast_ids)).astype(np.int64)
+    fast_ids_np = _flat(fast_ids).to_numpy(zero_copy_only=False)
+    agg_ids_np = _flat(ids_a).to_numpy(zero_copy_only=False)
+    if len(agg_ids_np):
+        order = np.argsort(fast_ids_np, kind="stable")
+        pos = order[
+            np.searchsorted(fast_ids_np[order], agg_ids_np)
+        ]
+        dls_a = pa.array(dl_row[pos], pa.int64())
+    else:
+        dls_a = pa.array(np.zeros(0, dtype=np.int64), pa.int64())
 
     if slow_ids is not None and len(slow_ids):
         s_ids, s_terms, s_tfs, s_dls = _python_rows(

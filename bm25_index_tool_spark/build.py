@@ -467,13 +467,11 @@ def _build(
     num_docs = m_docs["rows"]
     docs = spark.read.parquet(docs_path)
 
-    # -- stages 2-3: ONE tokenize pass feeds postings and termstats ----------
-    # (term, doc_id, tf) is the source of truth: dl per doc = Σ tf (the FTS
-    # document's total token count), df per term = row count.  The persisted
-    # tf relation is reused across both sinks — the tokenizer (the dominant
-    # CPU cost) runs exactly once over the corpus.
-    from pyspark import StorageLevel
-
+    # -- stages 2-3: ONE tokenize pass; termstats derive from the postings
+    # parquet (a cheap columnar term scan) rather than a persisted tf
+    # relation — caching the full (doc_id, term, tf, dl) relation costs
+    # more than the read-back saves (measured at local[2]).  The tokenizer
+    # (the dominant CPU cost) still runs exactly once over the corpus.
     from bm25_index_tool_spark.arrow_tokenize import doc_term_freqs
 
     # Explicit repartition before the tokenizer: a small docs table read back
@@ -508,15 +506,13 @@ def _build(
                 F.sum("tf").over(Window.partitionBy("doc_id")).cast("int"),
             )
         )
-    tfs = tfs.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _postings() -> dict:
         # dl is already denormalized in tfs (computed inside the tokenize
         # worker — zero extra shuffle; the former separate doclens stage
-        # dominated low-parallelism builds, VERDICT r01 #5).  avgdl/total
-        # tokens ride along on the write via Observation.
-        from pyspark.sql import Observation
-
+        # dominated low-parallelism builds, VERDICT r01 #5).  No persist, no
+        # Observation on this hot write: tokenizer output flows straight
+        # into the bucket exchange → sort → write.
         post = tfs.withColumn(
             "bucket", F.pmod(F.hash("term"), F.lit(num_buckets))
         )
@@ -524,23 +520,15 @@ def _build(
             # dynamic partitionBy writes no files for an empty relation,
             # leaving an unreadable dir — write a schema'd empty parquet
             post.write.mode("overwrite").parquet(postings_path)
-            return {"rows": 0, "total_tokens": 0, "per_bucket_rows": {}}
-        obs = Observation("postings_metrics")
+            return {"rows": 0, "per_bucket_rows": {}}
         (
             post.repartition(num_buckets, "bucket")
             .sortWithinPartitions("term", "doc_id")
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("rows"),
-                F.sum("tf").alias("total_tokens"),
-            )
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(postings_path)
         )
-        got = obs.get
         # partition-column-only scan: row counts come from parquet metadata
-        # (per-bucket lineage needs a group-by, which Observation can't do)
         per_bucket = {
             str(r["bucket"]): r["cnt"]
             for r in spark.read.parquet(postings_path)
@@ -548,43 +536,55 @@ def _build(
             .agg(F.count("*").alias("cnt"))
             .collect()
         }
-        return {
-            "rows": got["rows"],
-            "total_tokens": int(got["total_tokens"] or 0),
-            "per_bucket_rows": per_bucket,
-        }
+        return {"rows": sum(per_bucket.values()), "per_bucket_rows": per_bucket}
 
-    m_post = _stage("postings", _postings)
-    # FTS5 avgdl = total_tokens / nRow over ALL docs — zero-token documents
-    # count in the denominator (they are rows in the FTS table with dl=0).
-    # A mean over only docs-with-postings would diverge on corpora with
-    # empty or punctuation-only files (ADVICE r01).
-    avgdl = m_post["total_tokens"] / num_docs if num_docs else 0.0
+    _stage("postings", _postings)
 
     def _termstats() -> dict:
+        # df and Σtf per term derive from the WRITTEN postings — a narrow
+        # (term, tf) columnar scan with map-side partial aggregation; the
+        # total-token sum for avgdl rides along as an Observation.  This
+        # replaces a second pass over a persisted 10^8-row tf relation
+        # (cache write + memory pressure cost more than this scan).
+        from pyspark.sql import Observation
+
+        src = spark.read.parquet(postings_path)
         stats = (
-            tfs.groupBy("term")
-            .agg(F.count("*").cast("long").alias("df"))
+            src.groupBy("term")
+            .agg(
+                F.count("*").cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("_ttf"),
+            )
             .withColumn("bucket", F.pmod(F.hash("term"), F.lit(num_buckets)))
         )
         if num_docs == 0:
-            stats.write.mode("overwrite").parquet(termstats_path)
-            return {"rows": 0}
-        from pyspark.sql import Observation
-
+            stats.select("term", "df", "bucket").write.mode(
+                "overwrite"
+            ).parquet(termstats_path)
+            return {"rows": 0, "total_tokens": 0}
         obs = Observation("termstats_metrics")
         (
             stats.repartition(num_buckets, "bucket")
             .sortWithinPartitions("term")
-            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("_ttf").alias("total_tokens"),
+            )
+            .select("term", "df", "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(termstats_path)
         )
-        return {"rows": obs.get["rows"]}
+        got = obs.get
+        return {"rows": got["rows"], "total_tokens": int(got["total_tokens"] or 0)}
 
-    _stage("termstats", _termstats)
-    tfs.unpersist()
+    m_ts = _stage("termstats", _termstats)
+    # FTS5 avgdl = total_tokens / nRow over ALL docs — zero-token documents
+    # count in the denominator (they are rows in the FTS table with dl=0).
+    # A mean over only docs-with-postings would diverge on corpora with
+    # empty or punctuation-only files (ADVICE r01).
+    avgdl = m_ts["total_tokens"] / num_docs if num_docs else 0.0
 
     manifest = IndexManifest(
         name=name,
@@ -595,7 +595,7 @@ def _build(
         params=params,
         created_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
         source=source or {},
-        total_tokens=int(m_post["total_tokens"]),
+        total_tokens=int(m_ts["total_tokens"]),
     )
     with open(os.path.join(index_dir, MANIFEST), "w") as f:
         f.write(manifest.to_json())
