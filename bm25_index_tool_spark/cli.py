@@ -148,7 +148,10 @@ def main(argv: list[str] | None = None) -> int:
         if not names:
             p.error("usage: query <index...> <query>")
         if args.semantic:
-            results = client.search_semantic(names[0], query, args.top)
+            if len(names) == 1:
+                results = client.search_semantic(names[0], query, args.top)
+            else:
+                results = client.search_semantic_multi(names, query, args.top)
             print(FMT.format_semantic(results, query))
             client.spark.stop()
             return 0

@@ -360,6 +360,26 @@ class BM25SparkClient:
             for r in rows
         ]
 
+    def search_semantic_multi(
+        self, names: list[str], query: str, top_k: int = 10
+    ) -> list[dict[str, Any]]:
+        """Multi-index semantic search (reference ``VectorSearcher.
+        search_multi``, ``vector/searcher.py:120-150``): per-index top_k,
+        tag each result with index_name, merge by score desc, limit top_k.
+        Indices without a vector store are skipped with no error — the
+        reference logs and continues."""
+        out: list[dict[str, Any]] = []
+        for n in names:
+            try:
+                rows = self.search_semantic(n, query, top_k)
+            except ValueError:
+                continue  # missing index / no vector store — skip
+            for r in rows:
+                r["index_name"] = n
+            out.extend(rows)
+        out.sort(key=lambda r: -r["score"])
+        return out[:top_k]
+
     def search_related(
         self, name: str, source_path: str, top_k: int = 10
     ) -> list[dict[str, Any]]:

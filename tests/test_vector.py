@@ -163,3 +163,18 @@ def test_client_semantic_end_to_end(spark, tmp_path):
     assert meta["vector_metadata"]["dimensions"] == V.FAKE_EMBED_DIM
     with pytest.raises(ValueError, match="not found"):
         client.info("nope")
+
+    # multi-index semantic merge: skips missing indices, tags index_name,
+    # merges by score desc (reference VectorSearcher.search_multi)
+    rows2 = C.generate_rows(20, seed=14)
+    client.create_index(
+        "vec2", spark.createDataFrame(rows2, C.CORPUS_SCHEMA),
+        num_buckets=4, build_vector_index=True,
+    )
+    multi = client.search_semantic_multi(
+        ["vec", "vec2", "missing"], "kubernetes networking", top_k=6
+    )
+    assert 0 < len(multi) <= 6
+    assert {r["index_name"] for r in multi} <= {"vec", "vec2"}
+    scores = [r["score"] for r in multi]
+    assert scores == sorted(scores, reverse=True)
