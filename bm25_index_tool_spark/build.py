@@ -426,10 +426,14 @@ def _build(
     # doc_ids (IO ∝ delta, not corpus), and point lookups by doc_id prune
     # to one partition.
     def _docs() -> dict:
+        t_ids0 = time.monotonic()
         if ids_preassigned:
             ids = with_derived_columns(corpus).drop("_dirname", "_natint")
         else:
             ids = assign_doc_ids(corpus, num_partitions)
+        # sub-timing: assign_doc_ids runs the range-sample + counts jobs
+        # eagerly; everything after is the derived-column + write job
+        ids_sec = round(time.monotonic() - t_ids0, 4)
         # defensive: a low-split source (tiny parquet, driver-created DF)
         # would serialize the hash/write work below into a handful of tasks
         target_p = num_partitions or spark.sparkContext.defaultParallelism
@@ -461,7 +465,7 @@ def _build(
             spark.createDataFrame([], out.schema).write.mode(
                 "overwrite"
             ).parquet(docs_path)
-        return {"rows": rows}
+        return {"rows": rows, "ids_sec": ids_sec}
 
     m_docs = _stage("docs", _docs)
     num_docs = m_docs["rows"]
@@ -521,6 +525,7 @@ def _build(
             # leaving an unreadable dir — write a schema'd empty parquet
             post.write.mode("overwrite").parquet(postings_path)
             return {"rows": 0, "per_bucket_rows": {}}
+        t_w0 = time.monotonic()
         (
             post.repartition(num_buckets, "bucket")
             .sortWithinPartitions("term", "doc_id")
@@ -528,6 +533,7 @@ def _build(
             .partitionBy("bucket")
             .parquet(postings_path)
         )
+        write_sec = round(time.monotonic() - t_w0, 4)
         # partition-column-only scan: row counts come from parquet metadata
         per_bucket = {
             str(r["bucket"]): r["cnt"]
@@ -536,7 +542,11 @@ def _build(
             .agg(F.count("*").alias("cnt"))
             .collect()
         }
-        return {"rows": sum(per_bucket.values()), "per_bucket_rows": per_bucket}
+        return {
+            "rows": sum(per_bucket.values()),
+            "per_bucket_rows": per_bucket,
+            "write_sec": write_sec,
+        }
 
     _stage("postings", _postings)
 
