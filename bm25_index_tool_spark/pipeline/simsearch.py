@@ -194,6 +194,162 @@ def write_ann_index(
     return {"n_bits": n_bits, "n_tables": n_tables, "seed": seed, "dim": dim}
 
 
+# ---------------------------------------------------------------------------
+# IVF-Flat (inverted-file) ANN — the second classic scale path
+# ---------------------------------------------------------------------------
+#
+# Coarse quantizer → cell assignment → per-cell exact scan of nprobe cells.
+# Two trainers:
+#   * "stride"  — deterministic data-sampled centroids (every ⌊N/m⌋-th id):
+#     reproducible across engines, so the driver's DuckDB oracle can replay
+#     assignment + probe EXACTLY (cell argmax over 9-dp-rounded cosines).
+#   * "kmeans"  — pyspark.ml KMeans(seed=…) for production-quality cells
+#     (balanced Voronoi partitions); tested in pytest (recall gate), not
+#     oracle-checkable since DuckDB has no kmeans.
+# At 10^12 rows: assignment is O(N·m) JVM-side dots with the m×dim centroid
+# table broadcast as literals (m ≤ a few hundred), the index is written
+# partitionBy(cell) so a probe prunes to nprobe partitions, and recall/cost
+# tune via (m, nprobe) exactly as in FAISS IVF-Flat.
+
+
+def ivf_stride_centroids(
+    emb: DataFrame, m: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic centroids: rows with ``id % ⌊N/m⌋ == 0``, lowest-id
+    first, limit m.  (Data-sampled centroids are the classic cheap coarse
+    quantizer; swap in ``ivf_kmeans_centroids`` for trained cells.)"""
+    n = emb.count()
+    stride = max(n // m, 1)
+    rows = (
+        emb.where(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(m)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def ivf_kmeans_centroids(
+    emb: DataFrame, m: int, *, vec_col: str = "embedding", seed: int = 42
+) -> list[list[float]]:
+    """Trained coarse quantizer (production path): pyspark.ml KMeans with a
+    fixed seed over the embedding column."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=m, seed=seed, featuresCol="features").fit(vecs)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_cell_col(vec: F.Column, centroids: list[list[float]]) -> F.Column:
+    """0-based cell = argmax over centroids of round(cosine, 9) — first
+    index wins ties; rounding makes the argmax reproducible across engines
+    (float fold order differs between Spark and DuckDB)."""
+    scores = F.array(
+        *[
+            F.round(cosine_expr(vec, F.array(*[F.lit(x) for x in c])), 9)
+            for c in centroids
+        ]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side: the nprobe cells whose centroids are most similar to
+    the query (9-dp-rounded cosine desc, cell index asc on ties)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    sims = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=np.float64)
+        s = round(float(np.dot(q, cv)) / (qn * float(np.linalg.norm(cv))), 9)
+        sims.append((-s, i))
+    return [i for _, i in sorted(sims)[:nprobe]]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-Flat probe without a materialized index (assignment on the fly):
+    filter to rows whose cell ∈ the query's nprobe cells, exact cosine
+    within, top-k.  For repeated queries, materialize with
+    ``write_ivf_index`` so the probe becomes a partition filter."""
+    cents = centroids or ivf_stride_centroids(emb, m, id_col=id_col, vec_col=vec_col)
+    probe = ivf_probe_cells(query_vec, cents, nprobe)
+    v = F.col(vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.where(ivf_cell_col(v, cents).isin(probe))
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(cosine_expr(v, q), 9).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Materialize the inverted file: every row tagged with its cell,
+    ``partitionBy(cell)`` — a probe reads exactly nprobe partitions.
+    Returns the centroids (persist them next to the index)."""
+    cents = centroids or ivf_stride_centroids(emb, m, id_col=id_col, vec_col=vec_col)
+    (
+        emb.select(
+            ivf_cell_col(F.col(vec_col), cents).alias("cell"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return cents
+
+
+def ivf_index_search(
+    spark: SparkSession,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the materialized IVF index: nprobe partition filters, exact
+    cosine on candidates, top-k."""
+    probe = ivf_probe_cells(query_vec, centroids, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probe))
+        .select("id", F.round(cosine_expr(F.col("v"), q), 9).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def ann_search(
     spark: SparkSession,
     path: str,

@@ -924,6 +924,61 @@ WHERE {cond}
 ORDER BY cosine DESC, vec_id LIMIT {COSINE_K}"""
 
 
+# IVF-Flat parameters shared by the Spark query and the SQL oracle: the
+# deterministic stride-sampled coarse quantizer makes cell assignment and
+# probe selection exactly replayable in DuckDB (argmax over 9-dp-rounded
+# cosines, first index wins ties — both engines).
+IVF_M = 16
+IVF_NPROBE = 4
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return SS.ivf_topk(
+        emb, _query_vec(spark, sf_dir), COSINE_K, m=IVF_M, nprobe=IVF_NPROBE
+    ).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _sql_ivf() -> str:
+    cos9 = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 9)"
+    )
+    return f"""
+WITH {_SQL_VECD},
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM vecd
+  WHERE vec_id % (SELECT GREATEST(count(*) // {IVF_M}, 1) FROM vecd) = 0
+  ORDER BY vec_id LIMIT {IVF_M}
+),
+ascore AS (
+  SELECT d.vec_id, d.v, c.cell,
+         {cos9.format(a='d.v', b='c.cv')} AS s
+  FROM vecd d CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+    FROM ascore) WHERE rn = 1
+),
+probe AS (
+  SELECT cell FROM (
+    SELECT c.cell, {cos9.format(a='q.qv', b='c.cv')} AS s,
+           row_number() OVER (ORDER BY {cos9.format(a='q.qv', b='c.cv')} DESC, c.cell ASC) AS rn
+    FROM cents c, q) WHERE rn <= {IVF_NPROBE}
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       round({cos9.format(a='a.v', b='q.qv')}, 6) AS cosine
+FROM assign a, q
+WHERE a.cell IN (SELECT cell FROM probe)
+ORDER BY cosine DESC, vec_id LIMIT {COSINE_K}"""
+
+
 EMB_DUP_THRESHOLD = 0.95
 
 
@@ -1253,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "cosine_lsh_topk": q_cosine_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "chunks": q_chunks,
         "semantic_chunk_search": q_semantic_chunk_search,
@@ -1289,6 +1345,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "cosine_topk": SQL_COSINE_TOPK,
         "cosine_lsh_topk": _sql_lsh(),
+        "ivf_topk": _sql_ivf(),
         "embedding_dup_pairs": _sql_embedding_dups(),
         "chunks": SQL_CHUNKS,
         "semantic_chunk_search": SQL_SEMANTIC_CHUNKS,

@@ -159,6 +159,79 @@ def test_srp_ann_recall(spark, tmp_path):
     assert len(parts) == 16
 
 
+def test_ivf_ann(spark, tmp_path):
+    """IVF-Flat: (1) probing ALL cells is exactly brute force (IVF is a
+    partitioning of the corpus, not an approximation of the metric);
+    (2) recall@20 ≥ 0.9 on the clustered corpus with stride centroids at
+    nprobe=8; (3) the materialized index probes via partition filters;
+    (4) the kmeans trainer produces cells with recall ≥ stride's at the
+    same nprobe budget."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    dim, n_clusters, per = 64, 40, 25
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.04 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # shuffle ids so stride sampling isn't accidentally one-per-cluster
+    rng.shuffle(rows)
+    rows = [(i, r[1]) for i, r in enumerate(rows)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    q = rows[7][1]
+    exact = [r["id"] for r in SS.brute_force_topk(emb, q, k=20).collect()]
+
+    # nprobe = m ⇒ every cell scanned ⇒ identical to brute force
+    full = [
+        r["id"] for r in SS.ivf_topk(emb, q, k=20, m=16, nprobe=16).collect()
+    ]
+    assert full == exact
+
+    cents = SS.ivf_stride_centroids(emb, 32)
+    approx = [
+        r["id"]
+        for r in SS.ivf_topk(
+            emb, q, k=20, m=32, nprobe=8, centroids=cents
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 20
+    assert recall >= 0.9, f"ivf_topk recall@20 = {recall}"
+
+    # materialized inverted file: probe = partition filter over cell=
+    path = str(tmp_path / "ivf")
+    got_cents = SS.write_ivf_index(emb, path, m=32, centroids=cents)
+    assert got_cents == cents
+    import os
+
+    parts = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert 1 < len(parts) <= 32
+    got = [
+        r["id"]
+        for r in SS.ivf_index_search(
+            spark, path, cents, q, k=20, nprobe=8
+        ).collect()
+    ]
+    assert set(got) == set(approx)
+
+    # trained coarse quantizer (production path)
+    kcents = SS.ivf_kmeans_centroids(emb, 32, seed=11)
+    assert len(kcents) == 32 and len(kcents[0]) == dim
+    kapprox = [
+        r["id"]
+        for r in SS.ivf_topk(
+            emb, q, k=20, m=32, nprobe=8, centroids=kcents
+        ).collect()
+    ]
+    krecall = len(set(exact) & set(kapprox)) / 20
+    assert krecall >= recall, f"kmeans recall {krecall} < stride {recall}"
+
+
 def test_jaccard_hot_shingle_cap(spark):
     """A shingle shared by EVERY doc would drive a d² self-join blow-up;
     the cap drops it before the join and jaccard is exact over the reduced
