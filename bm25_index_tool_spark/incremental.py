@@ -86,6 +86,20 @@ def detect_changes(current: DataFrame, stored_docs: DataFrame) -> ChangeSet:
 _CORPUS_COLS = ["repo", "path", "commit", "lang", "content"]
 
 
+def detect_upserts(current: DataFrame, stored_docs: DataFrame) -> ChangeSet:
+    """Upsert-only diff: ``current`` is a PARTIAL corpus (e.g. one
+    Structured-Streaming micro-batch) — rows absent from it are NOT
+    deletions.  Unchanged rows (same md5) are dropped, which makes the
+    merge idempotent under micro-batch replay: re-delivering an already
+    applied batch yields an empty ChangeSet."""
+    cs = detect_changes(current, stored_docs)
+    return ChangeSet(
+        added=cs.added,
+        modified=cs.modified,
+        deleted=stored_docs.limit(0),
+    )
+
+
 def _ensure_nonempty_partitioned(
     spark: SparkSession, path: str, part_col: str, schema
 ) -> None:
@@ -125,11 +139,17 @@ def apply_update(
     current: DataFrame,
     *,
     num_buckets: int | None = None,
+    mode: str = "full",
 ) -> "object":
     """True incremental update; returns the new IndexManifest.
 
     ``num_buckets`` is accepted for API compatibility but the bucket layout
     is fixed by the existing index (changing it requires a full rebuild).
+
+    ``mode="full"``: ``current`` is the complete corpus — rows missing from
+    it are deletions (the reference's update-vs-stored diff).
+    ``mode="upsert"``: ``current`` is a partial delta (a streaming
+    micro-batch) — only adds/modifies, never deletes.
     """
     from pyspark import StorageLevel
 
@@ -146,7 +166,12 @@ def apply_update(
     termstats_path = os.path.join(index_dir, B.TERMSTATS_DIR)
 
     docs = spark.read.parquet(docs_path)
-    changes = detect_changes(current, docs)
+    if mode == "upsert":
+        changes = detect_upserts(current, docs)
+    elif mode == "full":
+        changes = detect_changes(current, docs)
+    else:
+        raise ValueError(f"unknown update mode {mode!r} (full|upsert)")
     counts = changes.counts()
     if all(v == 0 for v in counts.values()):
         return manifest

@@ -1,0 +1,76 @@
+"""Structured-Streaming ingestion (SURVEY.md §2.10).
+
+The reference has no streaming surface — its update loop is a batch diff
+(reference ``commands/update.py:149-253``).  At 100-TB scale the natural
+extension is a continuously-fed index: new/changed corpus files land in a
+drop directory (or Kafka/Iceberg CDC feed), and the index absorbs them as
+micro-batches without ever re-reading the unchanged corpus.
+
+Spark-first shape: ``readStream`` over the drop directory → ``writeStream
+.foreachBatch`` → the SAME true-delta merge the batch path uses
+(incremental.apply_update, mode="upsert").  Design points:
+
+* **Upsert semantics per micro-batch** — a batch is a partial corpus;
+  absence is not deletion (deletions remain an explicit batch operation,
+  as in the reference).
+* **Replay-safe** — the merge diffs on (full_path, md5(content)), so a
+  re-delivered batch (failure/restart between foreachBatch and the
+  source-offset commit) produces an empty ChangeSet and the index is
+  unchanged: effective exactly-once without any sink-side transaction.
+* **Checkpointed** — source offsets live in ``checkpoint_dir`` (Spark's
+  own WAL); the index's per-stage lineage checkpoints cover the inside of
+  a batch.
+* ``trigger=availableNow`` drains the backlog and stops (incremental
+  catch-up job); omit it for a long-running ``processingTime`` daemon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORPUS_STREAM_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+    ]
+)
+
+
+def stream_index_updates(
+    spark: SparkSession,
+    index_dir: str,
+    source_dir: str,
+    *,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and return) a streaming query that merges every corpus
+    parquet file appearing under ``source_dir`` into the index at
+    ``index_dir``.  Callers own the returned query's lifecycle
+    (``awaitTermination`` / ``stop``)."""
+    reader = spark.readStream.schema(CORPUS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        from bm25_index_tool_spark.incremental import apply_update
+
+        # foreachBatch hands a plain batch DataFrame; empty batches are
+        # no-ops inside apply_update (empty ChangeSet short-circuit)
+        apply_update(spark, index_dir, batch_df, mode="upsert")
+
+    writer = stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

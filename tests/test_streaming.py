@@ -1,0 +1,91 @@
+"""Structured-Streaming ingestion: drop-dir micro-batches merge into the
+index via the true-delta upsert path; replaying the same files is a no-op
+(content-addressed merge ⇒ effective exactly-once)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from bm25_index_tool_spark import build as B
+from bm25_index_tool_spark import corpus as C
+from bm25_index_tool_spark.score import LoadedIndex, score_query
+from bm25_index_tool_spark.streaming import stream_index_updates
+from tests.oracle import FTS5Oracle
+
+N0 = 40
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _write_wave(dir_, name, rows):
+    arrays = {c: [r[i] for r in rows] for i, c in enumerate(COLS)}
+    pq.write_table(pa.table(arrays), os.path.join(dir_, name))
+
+
+def test_stream_ingest_merges_and_replays(spark, tmp_path):
+    base = C.generate_rows(N0, seed=23)
+    idx_dir = str(tmp_path / "idx")
+    B.build_index(
+        spark,
+        spark.createDataFrame(base, C.CORPUS_SCHEMA),
+        idx_dir,
+        num_buckets=4,
+    )
+
+    # wave 1: 6 brand-new docs; wave 2: modified copies of 4 base docs —
+    # path-disjoint waves, so micro-batch order cannot change the outcome
+    wave1 = C.generate_rows(N0 + 6, seed=23)[N0:]
+    wave2 = [
+        (r[0], r[1], r[2], r[3], r[4] + " streamed zanzibar")
+        for r in base[:4]
+    ]
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write_wave(str(src), "wave1.parquet", wave1)
+    _write_wave(str(src), "wave2.parquet", wave2)
+
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_index_updates(
+        spark, idx_dir, str(src), checkpoint_dir=ckpt,
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    # one micro-batch per file (maxFilesPerTrigger=1)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 2
+
+    final = {(r[0], r[1]): r for r in base}
+    for r in wave1 + wave2:
+        final[(r[0], r[1])] = r
+    final_rows = list(final.values())
+
+    oracle = FTS5Oracle()
+    oracle.add_documents(C.ordered_rows(final_rows))
+
+    index = LoadedIndex.open(spark, idx_dir)
+    for query in ["zanzibar", "data value", "apple"]:
+        got = score_query(index, query, 10, include_content=False).collect()
+        exp = oracle.search_bm25(query, top_k=10)
+        assert [r["path"] for r in got] == [e[1] for e in exp], query
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e[4], rel_tol=1e-9), query
+
+    m1 = B.load_manifest(idx_dir)
+    assert m1.num_docs == len(final_rows)
+
+    # replay: fresh checkpoint ⇒ both files re-delivered; the content-
+    # addressed merge must produce an empty ChangeSet (index unchanged)
+    q2 = stream_index_updates(
+        spark, idx_dir, str(src),
+        checkpoint_dir=str(tmp_path / "ckpt2"), available_now=True,
+    )
+    q2.awaitTermination(300)
+    m2 = B.load_manifest(idx_dir)
+    assert (m2.num_docs, m2.total_tokens) == (m1.num_docs, m1.total_tokens)
+    got2 = score_query(index, "zanzibar", 10, include_content=False).collect()
+    assert [r["path"] for r in got2] == [
+        e[1] for e in oracle.search_bm25("zanzibar", top_k=10)
+    ]
