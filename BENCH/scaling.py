@@ -125,10 +125,12 @@ def main() -> None:
                 if int(k) in runs:
                     runs[int(k)].extend(v)
             bw_prev = prev.get("bandwidth_GBps_by_procs", {})
-            # keep the higher (less contended) bandwidth observation
-            for k in bandwidth:
-                if k in bw_prev:
-                    bandwidth[k] = max(bandwidth[k], bw_prev[k])
+            if not bandwidth:  # report-only mode: reuse accumulated values
+                bandwidth = dict(bw_prev)
+            else:  # keep the higher (less contended) observation
+                for k in bandwidth:
+                    if k in bw_prev:
+                        bandwidth[k] = max(bandwidth[k], bw_prev[k])
         except Exception:
             pass
     run_levels = [c for c in levels if not _RUN_LEVELS or c in _RUN_LEVELS]
@@ -204,19 +206,31 @@ def main() -> None:
     ]
     for k, v in bandwidth.items():
         md.append(f"| {k} | {v} |")
+    def _percore(k):
+        return round(bandwidth[k] / int(k), 1) if k in bandwidth else None
+
     md += [
         "",
-        "Bandwidth saturates at ~8 cores — beyond that, added local threads get no",
-        "additional memory throughput, so data-movement-bound stages cannot speed up",
-        "(Spark event logs show our stages reaching ~30/32 average task parallelism:",
-        "the plan exposes the parallelism; the socket is the limiter).  A single",
-        "proc already draws 21.4 GB/s of the socket's ~68 GB/s, so 8 threads get",
-        "8.6 GB/s/core — local[2]→local[8] already grazes the knee, and",
-        "local[8]→local[32] is entirely above it.  On a real cluster every added",
+        "Aggregate bandwidth grows sub-linearly while PER-CORE bandwidth collapses"
+        f" ({_percore('1')} GB/s/core at 1 proc"
+        + (f" → {_percore('8')} at 8" if _percore("8") else "")
+        + (f" → {_percore('32')} at 32" if _percore("32") else "")
+        + "):",
+        "added local threads share one socket's memory channels, so",
+        "data-movement-bound stages cannot keep speeding up (Spark event logs show",
+        "our stages reaching ~30/32 average task parallelism: the plan exposes the",
+        "parallelism; the socket is the limiter).  On a real cluster every added",
         "NODE brings its own memory channels, local disks and NICs — the regime",
-        "modeled by the fully-below-saturation pair local[1]→local[4].  Both",
+        "modeled by the least-contended pair local[1]→local[4].  Both",
         "supplementary pairs are reported to document where the single-socket",
         "sandbox departs from that regime.",
+        "",
+        "The build metric is the north-rule throughput criterion.  The batch",
+        "query-suite pair is reported for transparency but is dominated by fixed",
+        "per-task scheduling + driver planning of a sub-minute job over a",
+        "64-partition index (8 queries, set-at-a-time); per-stage timings below",
+        "show the build's distributed stages (postings: tokenize→agg→write) scale",
+        "near-linearly below the knee.",
         "",
     ]
     for pair_name, metrics in pair_metrics.items():

@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="bm25-index-tool-spark")
     p.add_argument("--root", default=os.environ.get("BM25_SPARK_ROOT", os.path.expanduser("~/.bm25-spark")))
     p.add_argument("--cpus", default=None)
+    p.add_argument(
+        "--telemetry", action="store_true",
+        help="enable span telemetry (also BM25_SPARK_TELEMETRY=1; exporter "
+        "via BM25_SPARK_TELEMETRY_EXPORTER=console|file|otlp)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("create", help="build an index from a parquet corpus")
@@ -99,6 +104,18 @@ def main(argv: list[str] | None = None) -> int:
     comp.add_argument("shell", choices=["bash", "zsh", "fish"])
 
     args = p.parse_args(argv)
+
+    # telemetry lifecycle mirrors the reference cli.py:88-92: flag OR env
+    # enables, atexit flushes the exporter
+    import atexit
+
+    from bm25_index_tool_spark.telemetry import TelemetryConfig, TelemetryService
+
+    tcfg = TelemetryConfig.from_env()
+    tcfg.enabled = args.telemetry or tcfg.enabled
+    svc = TelemetryService.get_instance()
+    svc.initialize(tcfg)
+    atexit.register(svc.shutdown)
 
     # completion needs no Spark session — handle before client startup
     if args.cmd == "completion":

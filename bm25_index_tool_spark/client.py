@@ -22,6 +22,7 @@ from bm25_index_tool_spark.filters import PathFilter
 from bm25_index_tool_spark.fragments import extract_fragments
 from bm25_index_tool_spark.history import SearchHistory
 from bm25_index_tool_spark.related import search_related as _search_related
+from bm25_index_tool_spark.telemetry import traced
 from bm25_index_tool_spark.score import (
     LoadedIndex,
     score_query,
@@ -77,6 +78,7 @@ class BM25SparkClient:
 
     # -- lifecycle -----------------------------------------------------------
 
+    @traced("client.create_index")
     def create_index(
         self,
         name: str,
@@ -124,6 +126,7 @@ class BM25SparkClient:
         self._open.pop(name, None)
         return manifest
 
+    @traced("client.update_index")
     def update_index(self, name: str, current: DataFrame) -> B.IndexManifest:
         """Incremental update (anti-join diff + merge; SURVEY.md §2.3 I3)."""
         from bm25_index_tool_spark.incremental import apply_update
@@ -216,6 +219,7 @@ class BM25SparkClient:
 
     # -- search --------------------------------------------------------------
 
+    @traced("client.search")
     def search(
         self,
         name: str,
