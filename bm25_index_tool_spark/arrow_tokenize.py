@@ -36,6 +36,28 @@ from bm25_index_tool_spark.tokenize import _TOKEN_RE, fold_unicode61
 
 _ASCII_SPLIT_PATTERN = "[^a-z0-9]+"
 
+# Code-profile identifier pre-split (tokenize._CAMEL_RE semantics) as RE2
+# capture-group replaces — RE2 has no lookarounds, but sequential
+# non-overlapping GlobalReplace over these four rules inserts exactly the
+# same boundaries (differentially asserted in test_arrow_tokenize.py):
+#   camelCase, ACRONYMTail, letter→digit, digit→letter.
+_CODE_SPLIT_RULES = [
+    (r"([a-z0-9])([A-Z])", r"\1 \2"),
+    (r"([A-Z])([A-Z][a-z])", r"\1 \2"),
+    (r"([A-Za-z])([0-9])", r"\1 \2"),
+    (r"([0-9])([A-Za-z])", r"\1 \2"),
+]
+
+
+def _presplit_code(arr):
+    """C++ identifier splitting: ``getHttpResponse2`` → ``get Http
+    Response 2`` ahead of the unicode61 split (spaces are separators).
+    The rules only touch ASCII letter/digit boundaries, so applying them
+    before the ASCII/non-ASCII routing is safe for both branches."""
+    for pat, rep in _CODE_SPLIT_RULES:
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=rep)
+    return arr
+
 # dl (per-doc total token count) is computed INSIDE the tokenize worker —
 # each document lives in exactly one input row, so its total is complete
 # within the batch.  Denormalizing dl here removes the doc_id shuffle the
@@ -77,9 +99,13 @@ def _pin_arrow_threads() -> None:
         pass
 
 
-def _batch_term_freqs(batch: pa.RecordBatch) -> pa.RecordBatch:
+def _batch_term_freqs(
+    batch: pa.RecordBatch, profile: str = "unicode61"
+) -> pa.RecordBatch:
     doc_ids = batch.column(0)
     raw = batch.column(1)
+    if profile == "code":
+        raw = _presplit_code(raw)
     # route on the ORIGINAL text: the slow path must see unmodified
     # codepoints (FTS5's case/diacritic fold table is keyed on them;
     # Arrow's utf8_lower can disagree with FTS5's case folding outside
@@ -159,16 +185,28 @@ def _batch_term_freqs(batch: pa.RecordBatch) -> pa.RecordBatch:
     )
 
 
-def doc_term_freqs(df: DataFrame, text_expr: Column, id_col: str = "doc_id") -> DataFrame:
+ARROW_PROFILES = ("unicode61", "code")
+
+
+def doc_term_freqs(
+    df: DataFrame,
+    text_expr: Column,
+    id_col: str = "doc_id",
+    profile: str = "unicode61",
+) -> DataFrame:
     """``(doc_id, term, tf)`` — the inverted-index source relation, computed
     per input partition with Arrow C++ kernels (one output row per distinct
-    (doc, term); rows are already aggregated, no JVM groupBy needed)."""
+    (doc, term); rows are already aggregated, no JVM groupBy needed).
+    ``profile='code'`` adds the C++ identifier pre-split (north-star
+    code-aware tokenization) ahead of identical unicode61 rules."""
+    if profile not in ARROW_PROFILES:
+        raise ValueError(f"no Arrow path for tokenizer profile {profile!r}")
     src = df.select(df[id_col].alias("doc_id"), text_expr.alias("_text"))
 
     def process(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _pin_arrow_threads()
         for batch in batches:
             if batch.num_rows:
-                yield _batch_term_freqs(batch)
+                yield _batch_term_freqs(batch, profile)
 
     return src.mapInArrow(process, TF_SCHEMA)

@@ -490,14 +490,17 @@ def _build(
     # doc lives in one row, so (doc_id, term, tf) leaves the map already
     # aggregated — no JVM explode, no 10^2-tokens-per-doc shuffle blow-up.
     # (The pandas-UDF tokenizer remains the semantic reference; differential
-    # equality is asserted in tests/test_arrow_tokenize.py.)  Non-default
-    # profiles (e.g. 'code') keep the general pandas-UDF path.
+    # equality is asserted in tests/test_arrow_tokenize.py.)  Both built-in
+    # profiles (unicode61, code) take the Arrow path; unknown future
+    # profiles keep the general pandas-UDF fallback.
+    from bm25_index_tool_spark.arrow_tokenize import ARROW_PROFILES
+
     repart = docs.repartition(tokenize_parallelism, "doc_id")
-    if tokenizer_profile == "unicode61":
+    if tokenizer_profile in ARROW_PROFILES:
         # dl arrives denormalized from the Arrow worker (each doc is one
         # input row → its total token count is complete in-batch): postings
         # need NO doc_id shuffle at all downstream of the tokenizer.
-        tfs = doc_term_freqs(repart, _fts_document())
+        tfs = doc_term_freqs(repart, _fts_document(), profile=tokenizer_profile)
     else:
         from pyspark.sql.window import Window
 

@@ -208,10 +208,14 @@ def apply_update(
     # tokenize ONLY the delta (arrow C++ fast path for the default profile)
     parallelism = spark.sparkContext.defaultParallelism
     repart = delta_full.repartition(parallelism, "doc_id")
-    if manifest.tokenizer_profile == "unicode61":
+    from bm25_index_tool_spark.arrow_tokenize import ARROW_PROFILES
+
+    if manifest.tokenizer_profile in ARROW_PROFILES:
         from bm25_index_tool_spark.arrow_tokenize import doc_term_freqs
 
-        tfs = doc_term_freqs(repart, B._fts_document())  # dl included
+        tfs = doc_term_freqs(  # dl included
+            repart, B._fts_document(), profile=manifest.tokenizer_profile
+        )
     else:
         from pyspark.sql.window import Window
 

@@ -200,14 +200,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.md5("term"))
     )
+    # Parse the needed md5 hex digits into integer chunks ONCE per row (8
+    # hex digits per conv — fits a long), then each fingerprint bit is a
+    # shift+mask instead of a substring+IN-set string compare: the 64-bit
+    # agg drops from 64×(substring + 8 string equals) to 4×conv + 64
+    # integer ops per posting row (same values; the DuckDB oracle keeps the
+    # readable substring/IN formulation — outputs are bit-identical).
+    n_chunks = ((bits - 1) // 2) // 8 + 1
+    for k in range(n_chunks):
+        terms = terms.withColumn(
+            f"c_{k}", F.conv(F.substring("h", 1 + 8 * k, 8), 16, 10).cast("long")
+        )
     bit_aggs = []
     for b in range(bits):
-        pos, digits = simhash_bit_digit(b)
+        pos, _digits = simhash_bit_digit(b)
+        k, o = (pos - 1) // 8, (pos - 1) % 8
+        # hex digit o (big-endian within the chunk); bit 3 for even b, 2 for odd
+        shift = 4 * (7 - o) + (3 if b % 2 == 0 else 2)
+        bit = F.shiftright(F.col(f"c_{k}"), shift).bitwiseAND(F.lit(1))
         bit_aggs.append(
             F.sum(
-                F.when(
-                    F.substring("h", pos, 1).isin(*digits), F.col("tf")
-                ).otherwise(-F.col("tf"))
+                F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))
             ).alias(f"s_{b}")
         )
     bit_sums = terms.groupBy("id").agg(*bit_aggs)

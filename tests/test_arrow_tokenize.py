@@ -61,3 +61,62 @@ def test_arrow_matches_pandas_on_corpus(spark, small_corpus):
         .collect()
     }
     assert arrow == pandas_
+
+
+def test_arrow_code_profile_matches_pandas(spark):
+    """The RE2 capture-group pre-split (no lookarounds) must insert exactly
+    the boundaries of tokenize._CAMEL_RE, then match the pandas code
+    tokenizer end-to-end — including the non-ASCII fallback branch and dl."""
+    from bm25_index_tool_spark.tokenize import tokenize_code
+
+    rows = [
+        (1, "getHttpResponse2xx HTTPServer2 parseJSONFast"),
+        (2, "snake_case_name x9y9z aBaB A1b2C3"),
+        (3, "naïveCamelCase caféAuLait2 番茄Tomato7"),  # non-ASCII branch
+        (4, ""),
+        (5, "ALLCAPS lowercase MixedUPPERlower123"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, txt string").repartition(2)
+    arrow = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in doc_term_freqs(df, F.col("txt"), profile="code").collect()
+    }
+    pdf = (
+        df.select("doc_id", F.explode(tokenize_code(F.col("txt"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    from pyspark.sql.window import Window
+
+    pdf = pdf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
+    )
+    pandas_ = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"]) for r in pdf.collect()
+    }
+    assert arrow == pandas_
+    assert (1, "http") in arrow and (1, "2") in arrow and (1, "xx") in arrow
+    # CJK chars are unicode61 token chars and the camel rules are ASCII-
+    # only, so 番茄Tomato7 yields 番茄tomato + 7 on BOTH paths
+    assert (3, "番茄tomato") in arrow and (3, "7") in arrow
+
+
+def test_code_profile_index_build(spark, tmp_path):
+    """End-to-end: a code-profile index build takes the Arrow path and a
+    query for a split identifier fragment matches (north-star code-aware
+    tokenization)."""
+    from bm25_index_tool_spark import build as B
+    from bm25_index_tool_spark.score import LoadedIndex, score_query
+
+    rows = [
+        ("r", "src/a.py", "c", "py", "def getHttpResponse2(): return fetchRemoteData()"),
+        ("r", "src/b.py", "c", "py", "class PlainThing: pass"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    idx = str(tmp_path / "codeidx")
+    B.build_index(spark, corpus, idx, tokenizer_profile="code", num_buckets=4)
+    index = LoadedIndex.open(spark, idx)
+    got = score_query(index, "http response", 5, include_content=False).collect()
+    assert [r["path"] for r in got] == ["r/src/a.py"]
