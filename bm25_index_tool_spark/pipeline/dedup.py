@@ -82,10 +82,25 @@ def minhash_lsh_pairs(
     text_col: str,
     *,
     shingle_n: int = 3,
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
+    band_bucket_cap: int | None = 100_000,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b, band) via LSH banding."""
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
+
+    ``num_hashes/bands`` tune the S-curve: with r = num_hashes/bands rows
+    per band the candidate threshold is ≈ (1/bands)^(1/r) (defaults →
+    ≈0.71 Jaccard; production near-dup sweeps use e.g. 128×32 → r=4 at far
+    lower collision noise — parameterized, tested at 128 in
+    test_pipeline.py).
+
+    ``band_bucket_cap`` (VERDICT r01): a band bucket holding d docs emits
+    d(d−1)/2 pairs — 10⁶ exact copies of one boilerplate page would go
+    quadratic.  Buckets larger than the cap are dropped before the
+    self-join; exact-duplicate groups (the only honest members of such
+    mega-buckets) are the job of ``exact_duplicates`` (hash-groupBy, linear),
+    and genuine near-dup pairs inside a dropped bucket still surface from
+    any other band whose bucket stays under the cap."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(shingles(df, id_col, text_col, shingle_n), num_hashes)
     band_frames = []
@@ -101,6 +116,15 @@ def minhash_lsh_pairs(
     import functools
 
     banded = functools.reduce(lambda a, c: a.unionByName(c), band_frames)
+    if band_bucket_cap is not None:
+        big = (
+            banded.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > band_bucket_cap)
+            .select("band", "band_sig")
+        )
+        # anti-join co-partitions with the pair join on (band, band_sig)
+        banded = banded.join(big, ["band", "band_sig"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -700,7 +700,12 @@ FROM combined GROUP BY md5(text) HAVING count(*) > 1"""
 
 
 SHINGLE_N = 3
-MINHASH_K = 8
+# 16 hashes × 4 bands → 4 rows/band: candidate threshold ≈ (1/4)^(1/4) ≈
+# 0.71 Jaccard.  Scaled down from a production 128×32 (same r=4 S-curve
+# shape) so the DuckDB oracle replays the identical banding cheaply at the
+# driver sf; the 128-hash parameterization is exercised in
+# tests/test_pipeline.py.
+MINHASH_K = 16
 MINHASH_BANDS = 4
 
 

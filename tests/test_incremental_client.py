@@ -135,9 +135,9 @@ def test_incremental_touches_only_changed_buckets(spark, tmp_path):
     real = AT.doc_term_freqs
     seen = []
 
-    def spy(df, text_expr, id_col="doc_id"):
+    def spy(df, text_expr, id_col="doc_id", profile="unicode61"):
         seen.append(df.count())
-        return real(df, text_expr, id_col)
+        return real(df, text_expr, id_col, profile)
 
     AT.doc_term_freqs = spy
     try:

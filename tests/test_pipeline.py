@@ -64,6 +64,40 @@ def test_minhash_lsh_finds_exact_and_near_dups(docs):
     assert (0, 3) not in pairs and (3, 4) not in pairs
 
 
+def test_minhash_band_bucket_cap(spark):
+    """VERDICT r01: a mega-bucket of identical docs must not go d² through
+    the band join.  With the cap, pairs among the 60 exact copies are
+    dropped (exact_duplicates owns them, linearly) while a genuine
+    near-dup pair in small buckets still surfaces; the 128-hash production
+    parameterization runs the same plan."""
+    copies = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(60)]
+    near = [
+        (100, "unique first sentence body one two three four five"),
+        (101, "unique first sentence body one two three four nine"),
+    ]
+    df = spark.createDataFrame(copies + near, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(
+            df, "doc_id", "text", band_bucket_cap=10
+        ).collect()
+    }
+    assert (100, 101) in capped
+    assert not any(a < 60 and b < 60 for a, b in capped)
+    # exact_duplicates reports the mega-group linearly
+    groups = DD.exact_duplicates(df, "doc_id", "text").collect()
+    assert any(g["dup_count"] == 60 for g in groups)
+    # production parameterization (128 hashes × 32 bands, r=4) — same plan
+    prod = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(
+            df.where(F.col("doc_id") >= 50), "doc_id", "text",
+            num_hashes=128, bands=32,
+        ).collect()
+    }
+    assert (100, 101) in prod
+
+
 def test_simhash_identical_and_unrelated(docs):
     fp = {r["id"]: r["simhash"] for r in DD.simhash(docs, "doc_id", "text").collect()}
     assert fp[0] == fp[1] == fp[5]
