@@ -1040,6 +1040,56 @@ FROM bucketed a JOIN bucketed b
 WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) >= {EMB_DUP_THRESHOLD}"""
 
 
+# -- event-stream ops (batch twins of pipeline/events.py streaming) ------------
+
+EVENT_WINDOW = "10 minutes"
+SESSION_GAP_MIN = 30
+
+
+def q_windowed_event_counts(spark, sf_dir):
+    from bm25_index_tool_spark.pipeline import events as EV
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return EV.windowed_event_counts(ev, window_duration=EVENT_WINDOW)
+
+
+SQL_WINDOWED_EVENTS = f"""
+SELECT time_bucket(INTERVAL '{EVENT_WINDOW}', ts) AS window_start,
+       time_bucket(INTERVAL '{EVENT_WINDOW}', ts) + INTERVAL '{EVENT_WINDOW}' AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2, 3"""
+
+
+def q_event_sessions(spark, sf_dir):
+    from bm25_index_tool_spark.pipeline import events as EV
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return EV.sessionize_events(ev, gap_minutes=SESSION_GAP_MIN)
+
+
+SQL_EVENT_SESSIONS = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))
+              > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT *, CAST(sum(brk) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM o)
+SELECT CAST(user_id AS BIGINT) AS user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_idx"""
+
+
 # -- text analysis --------------------------------------------------------------
 
 
@@ -1317,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "chunks": q_chunks,
         "semantic_chunk_search": q_semantic_chunk_search,
+        "windowed_event_counts": q_windowed_event_counts,
+        "event_sessions": q_event_sessions,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1354,6 +1406,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": _sql_embedding_dups(),
         "chunks": SQL_CHUNKS,
         "semantic_chunk_search": SQL_SEMANTIC_CHUNKS,
+        "windowed_event_counts": SQL_WINDOWED_EVENTS,
+        "event_sessions": SQL_EVENT_SESSIONS,
         "token_counts": SQL_TOKEN_COUNTS,
         "quality_scores": _sql_quality(),
         "lang_id": _sql_lang_id(),
