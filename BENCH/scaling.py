@@ -94,7 +94,7 @@ def run_bench(cpus: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         BENCH_PARTITIONS=str(PARTITIONS),
         BENCH_REPLICATION=str(REPLICATION),
-        BENCH_PHASES="build,query",
+        BENCH_PHASES=os.environ.get("SCALING_PHASES", "build,query"),
         BENCH_BODY_X=str(BODY_X),
     )
     out = subprocess.run(
@@ -108,11 +108,11 @@ def run_bench(cpus: int) -> dict:
 
 def main() -> None:
     t0 = time.strftime("%Y-%m-%dT%H:%M:%S")
-    if ROUNDS > 0:
+    if ROUNDS > 0 and os.environ.get("SCALING_SKIP_BW") != "1":
         wait_for_quiet()  # the microbench needs a quiet window too
         bandwidth = measure_bandwidth()
     else:
-        bandwidth = {}  # report-only mode: reuse accumulated values
+        bandwidth = {}  # report-only / skip mode: reuse accumulated values
     levels = sorted({c for lo, hi, _ in PAIRS for c in (lo, hi)})
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     # accumulate across invocations: best-of-all-rounds under ambient noise
