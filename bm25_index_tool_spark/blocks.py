@@ -195,13 +195,15 @@ def build_blocks(
     manifest = B.load_manifest(index_dir)
     num_shards = num_shards or manifest.num_buckets
     n_docs = max(manifest.num_docs, 1)
+    # FIXED-WIDTH sharding: shard = (doc_id − 1) // shard_span with the span
+    # frozen at build time (persisted in blocks_meta.json).  Unlike a
+    # ratio-on-num_docs scheme, shard assignment never shifts when the
+    # corpus grows — incremental updates re-encode ONLY shards containing
+    # changed doc_ids (update_blocks); appended docs open new shards.
+    shard_span = max((n_docs + num_shards - 1) // num_shards, 1)
     post = spark.read.parquet(os.path.join(index_dir, B.POSTINGS_DIR))
     sharded = post.withColumn(
-        "shard",
-        F.least(
-            (F.col("doc_id") - 1) * num_shards / n_docs,
-            F.lit(num_shards - 1),
-        ).cast("int"),
+        "shard", ((F.col("doc_id") - 1) / F.lit(shard_span)).cast("int")
     )
 
     blocks_path = os.path.join(index_dir, B.BLOCKS_DIR)
@@ -217,10 +219,147 @@ def build_blocks(
     result.write.mode("overwrite").partitionBy("shard").parquet(blocks_path)
 
     n_blocks = spark.read.parquet(blocks_path).count()
-    meta = {"num_shards": num_shards, "block_size": block_size, "n_blocks": n_blocks}
+    meta = {
+        "num_shards": num_shards,
+        "block_size": block_size,
+        "n_blocks": n_blocks,
+        "shard_span": shard_span,
+    }
     import json as _json
 
     with open(os.path.join(index_dir, "blocks_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def _decode_to_postings(batches):
+    """Inverse of the encoder: block rows → (shard, term, doc_id, tf, dl)
+    posting rows.  Per-block numpy decode, no per-posting Python."""
+    import pyarrow as pa
+
+    from bm25_index_tool_spark.arrow_tokenize import _pin_arrow_threads
+
+    _pin_arrow_threads()
+    for b in batches:
+        if not b.num_rows:
+            continue
+        shards = b.column(b.schema.get_field_index("shard")).to_pylist()
+        terms = b.column(b.schema.get_field_index("term")).to_pylist()
+        ns = b.column(b.schema.get_field_index("n")).to_pylist()
+        payloads = b.column(b.schema.get_field_index("payload")).to_pylist()
+        o_shard, o_term, o_id, o_tf, o_dl = [], [], [], [], []
+        for sh, term, n, payload in zip(shards, terms, ns, payloads):
+            ids, tfs, dls = decode_block(payload, n)
+            o_shard.extend([sh] * n)
+            o_term.extend([term] * n)
+            o_id.extend(int(x) for x in ids)
+            o_tf.extend(int(x) for x in tfs)
+            o_dl.extend(int(x) for x in dls)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(o_shard, pa.int32()),
+                pa.array(o_term, pa.string()),
+                pa.array(o_id, pa.int64()),
+                pa.array(o_tf, pa.int32()),
+                pa.array(o_dl, pa.int32()),
+            ],
+            names=["shard", "term", "doc_id", "tf", "dl"],
+        )
+
+
+def update_blocks(
+    spark,
+    index_dir: str,
+    delta_post,
+    removed_ids,
+) -> dict:
+    """Delta maintenance of the block store: re-encode ONLY the shards
+    containing changed doc_ids, reconstructing them from their own old
+    blocks (decode → drop removed → merge delta) — IO ∝ changed shards,
+    never a postings-table rescan.  Unchanged shard directories stay
+    byte-identical.  Falls back to ``build_blocks`` for pre-shard_span
+    stores (ratio sharding shifts with N, so deltas can't be localized).
+
+    ``delta_post``: (doc_id, term, tf, dl) rows of added∪modified docs
+    (re-tokenized by the update); ``removed_ids``: (doc_id) of deleted ∪
+    old-modified docs.
+    """
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    meta_path = os.path.join(index_dir, "blocks_meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    span = meta.get("shard_span")
+    if not span:
+        return build_blocks(
+            spark, index_dir, num_shards=meta.get("num_shards")
+        )
+    from bm25_index_tool_spark import build as B
+
+    blocks_path = os.path.join(index_dir, B.BLOCKS_DIR)
+
+    shard_of = lambda c: ((F.col(c) - 1) / F.lit(span)).cast("int")  # noqa: E731
+    changed = sorted(
+        {
+            r["s"]
+            for r in removed_ids.select(shard_of("doc_id").alias("s"))
+            .unionByName(delta_post.select(shard_of("doc_id").alias("s")))
+            .distinct()
+            .collect()
+        }
+    )
+    if not changed:
+        return meta
+
+    old_blocks = spark.read.parquet(blocks_path)
+    old_changed = old_blocks.where(F.col("shard").isin(changed))
+    n_old_changed = old_changed.count()  # partition-pruned, footer-only
+    old_posts = old_changed.mapInArrow(
+        _decode_to_postings,
+        "shard int, term string, doc_id long, tf int, dl int",
+    ).drop("shard")
+    merged = (
+        old_posts.join(removed_ids, "doc_id", "left_anti")
+        .unionByName(delta_post.select("term", "doc_id", "tf", "dl"))
+        .withColumn("shard", shard_of("doc_id"))
+    )
+    tmp = blocks_path.rstrip("/") + ".update-tmp"
+    encoded = (
+        merged.repartition(len(changed), "shard")
+        .sortWithinPartitions("shard", "term", "doc_id")
+        .select("shard", "term", "doc_id", "tf", "dl")
+    )
+    result = encoded.mapInArrow(_encode_with_shard, "shard int, " + BLOCKS_SCHEMA)
+    result.write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    n_new_changed = (
+        spark.read.parquet(tmp).count()
+        if any(d.startswith("shard=") for d in os.listdir(tmp))
+        else 0
+    )
+    # swap changed shard dirs (new shards beyond the old range may appear
+    # when appended doc_ids open fresh spans)
+    new_shards = sorted(
+        {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(tmp)
+            if d.startswith("shard=")
+        }
+    )
+    for v in sorted(set(changed) | set(new_shards)):
+        live = os.path.join(blocks_path, f"shard={v}")
+        fresh = os.path.join(tmp, f"shard={v}")
+        if os.path.exists(live):
+            shutil.rmtree(live)
+        if os.path.exists(fresh):
+            os.replace(fresh, live)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    meta["n_blocks"] = meta.get("n_blocks", 0) - n_old_changed + n_new_changed
+    with open(meta_path, "w") as f:
         _json.dump(meta, f)
     return meta
 

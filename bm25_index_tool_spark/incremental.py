@@ -347,8 +347,6 @@ def apply_update(
             _swap_partitions(docs_path, tmp_docs, "doc_pt", changed_pts)
     _ensure_nonempty_partitioned(spark, docs_path, "doc_pt", docs.drop("doc_pt").schema)
 
-    delta_post.unpersist()
-
     # ---- manifest: exact delta-adjusted N / total_tokens / avgdl -----------
     new_num_docs = manifest.num_docs - counts["deleted"] + counts["added"]
     new_total = manifest.total_tokens - removed_tokens + delta_tokens
@@ -367,11 +365,15 @@ def apply_update(
         f.write(new_manifest.to_json())
 
     if os.path.exists(os.path.join(index_dir, B.BLOCKS_DIR)):
-        # the block store doc-shards by contiguous doc_id range over
-        # num_docs, so shard assignment shifts with N — rebuilt from the
-        # merged postings (IO-bound, no tokenization; at scale, shard by
-        # fixed doc_id ranges instead to make this delta-only)
-        from bm25_index_tool_spark.blocks import build_blocks
+        # fixed-span doc sharding (blocks_meta shard_span) keeps shard
+        # assignment stable as N changes: only shards containing changed
+        # doc_ids are re-encoded, from their own old blocks + the delta —
+        # IO ∝ delta, untouched shard dirs stay byte-identical
+        from bm25_index_tool_spark.blocks import update_blocks
 
-        build_blocks(spark, index_dir)
+        update_blocks(
+            spark, index_dir, delta_post.select("term", "doc_id", "tf", "dl"),
+            removed_ids,
+        )
+    delta_post.unpersist()
     return new_manifest

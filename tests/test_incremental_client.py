@@ -275,12 +275,16 @@ def test_client_block_engine(spark, client):
     assert [r["path"] for r in join_res] == [r["path"] for r in blk_res]
     for a, b in zip(join_res, blk_res):
         assert math.isclose(a["score"], b["score"], rel_tol=1e-9)
-    # update keeps the block engine usable (store rebuilt)
+    # update keeps the block engine EXACT (delta shard re-encode)
     client.update_index("blk", spark.createDataFrame(rows[:35], C.CORPUS_SCHEMA))
-    after = client.search(
+    after_join = client.search("blk", "data value", top_k=5, use_cache=False)
+    after_blk = client.search(
         "blk", "data value", top_k=5, use_cache=False, engine="blocks"
     )
-    assert len(after) > 0
+    assert len(after_blk) > 0
+    assert [r["path"] for r in after_join] == [r["path"] for r in after_blk]
+    for a, b in zip(after_join, after_blk):
+        assert math.isclose(a["score"], b["score"], rel_tol=1e-9)
     client.delete_index("blk")
 
 

@@ -161,3 +161,71 @@ def test_local_topk_correct_under_adversarial_input_partitioning(
     assert [r["doc_id"] for r in got] == [e[0] for e in expected]
     for e, g in zip(expected, got):
         assert math.isclose(e[4], g["score"], rel_tol=1e-9)
+
+
+def test_block_store_delta_update(spark, tmp_path):
+    """Fixed-span sharding (blocks_meta shard_span): an incremental update
+    re-encodes ONLY shards holding changed doc_ids — untouched shard dirs
+    stay byte-identical — appended docs open new shards, and plan-2 stays
+    rank-identical to plan-1 and the FTS5 oracle on the updated corpus."""
+    import hashlib
+    import os
+
+    from bm25_index_tool_spark import build as B
+    from bm25_index_tool_spark import corpus as C
+    from bm25_index_tool_spark import incremental as I
+    from bm25_index_tool_spark.score import LoadedIndex
+    from tests.oracle import FTS5Oracle
+
+    rows = C.generate_rows(64, seed=31)
+    ordered = C.ordered_rows(rows)  # index order == doc_id order
+    idx = str(tmp_path / "blkidx")
+    B.build_index(
+        spark, spark.createDataFrame(rows, C.CORPUS_SCHEMA), idx, num_buckets=4
+    )
+    build_blocks(spark, idx, num_shards=4)  # span = 16 docs/shard
+
+    def shard_hashes(shard):
+        d = os.path.join(idx, "blocks", f"shard={shard}")
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                with open(os.path.join(d, fn), "rb") as f:
+                    out[fn] = hashlib.sha256(f.read()).hexdigest()
+        return out
+
+    before = {s: shard_hashes(s) for s in range(4)}
+
+    # modify doc_ids 1-2 (shard 0) and append 3 docs (ids 65-67 → shard 4)
+    by_key = {(r[0], r[1]): r for r in rows}
+    cur = []
+    for i, r in enumerate(ordered):
+        if i < 2:
+            cur.append((r[0], r[1], r[2], r[3], r[4] + " zanzibar delta"))
+        else:
+            cur.append(by_key[(r[0], r[1])])
+    cur += [
+        ("zzz", f"zz/new_{i}.txt", "c9", "txt", f"fresh appended quokka{i} text")
+        for i in range(3)
+    ]
+    I.apply_update(spark, idx, spark.createDataFrame(cur, C.CORPUS_SCHEMA))
+
+    after = {s: shard_hashes(s) for s in range(1, 4)}
+    for s in range(1, 4):
+        assert after[s] == before[s], f"shard {s} should be untouched"
+    assert shard_hashes(0) != before[0]
+    assert os.path.isdir(os.path.join(idx, "blocks", "shard=4"))
+
+    oracle = FTS5Oracle()
+    oracle.add_documents(C.ordered_rows(cur))
+    index = LoadedIndex.open(spark, idx)
+    for q in ["zanzibar delta", "data value", "quokka1"]:
+        plan1 = score_query(index, q, top_k=10).collect()
+        plan2 = wand_search(index, q, top_k=10).collect()
+        assert [r["path"] for r in plan2] == [r["path"] for r in plan1], q
+        for a, b in zip(plan1, plan2):
+            assert math.isclose(a["score"], b["score"], rel_tol=1e-9), q
+        expected = oracle.search_bm25(q, top_k=10)
+        assert [r["path"] for r in plan1] == [e[1] for e in expected], q
+        for e, g in zip(expected, plan1):
+            assert math.isclose(e[4], g["score"], rel_tol=1e-9), q
