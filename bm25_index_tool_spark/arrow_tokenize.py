@@ -106,6 +106,14 @@ def _batch_term_freqs(
     raw = batch.column(1)
     if profile == "code":
         raw = _presplit_code(raw)
+    elif profile == "code_lang":
+        # lang-specific rule routing: identifier splitting only for rows
+        # whose lang column names a programming language
+        from bm25_index_tool_spark.tokenize import CODE_LANGS
+
+        lang = pc.utf8_lower(pc.fill_null(batch.column(2), ""))
+        is_code = pc.is_in(lang, value_set=pa.array(sorted(CODE_LANGS)))
+        raw = pc.if_else(is_code, _presplit_code(raw), raw)
     # route on the ORIGINAL text: the slow path must see unmodified
     # codepoints (FTS5's case/diacritic fold table is keyed on them;
     # Arrow's utf8_lower can disagree with FTS5's case folding outside
@@ -185,7 +193,7 @@ def _batch_term_freqs(
     )
 
 
-ARROW_PROFILES = ("unicode61", "code")
+ARROW_PROFILES = ("unicode61", "code", "code_lang")
 
 
 def doc_term_freqs(
@@ -198,10 +206,15 @@ def doc_term_freqs(
     per input partition with Arrow C++ kernels (one output row per distinct
     (doc, term); rows are already aggregated, no JVM groupBy needed).
     ``profile='code'`` adds the C++ identifier pre-split (north-star
-    code-aware tokenization) ahead of identical unicode61 rules."""
+    code-aware tokenization) ahead of identical unicode61 rules;
+    ``'code_lang'`` applies it only to rows whose ``lang`` column names a
+    programming language (lang-specific rules)."""
     if profile not in ARROW_PROFILES:
         raise ValueError(f"no Arrow path for tokenizer profile {profile!r}")
-    src = df.select(df[id_col].alias("doc_id"), text_expr.alias("_text"))
+    cols = [df[id_col].alias("doc_id"), text_expr.alias("_text")]
+    if profile == "code_lang":
+        cols.append(df["lang"].alias("_lang"))
+    src = df.select(*cols)
 
     def process(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         _pin_arrow_threads()

@@ -51,7 +51,12 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("create", help="build an index from a parquet corpus")
     c.add_argument("name")
     c.add_argument("--corpus", required=True, help="parquet with (repo,path,commit,lang,content)")
-    c.add_argument("--profile", default="unicode61", choices=["unicode61", "code"])
+    c.add_argument(
+        "--profile", default="unicode61",
+        choices=["unicode61", "code", "code_lang"],
+        help="tokenizer: unicode61 (FTS5-exact), code (identifier "
+        "splitting), code_lang (identifier splitting only for code langs)",
+    )
     c.add_argument("--k1", type=float, default=None)
     c.add_argument("--b", type=float, default=None)
     c.add_argument(

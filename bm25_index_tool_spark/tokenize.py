@@ -110,7 +110,36 @@ def tokenize_code(content: pd.Series) -> pd.Series:
     return _tokenize_series(pre)
 
 
-PROFILES = {"unicode61": tokenize_unicode61, "code": tokenize_code}
+# Languages whose documents get identifier splitting under the
+# ``code_lang`` profile (north-star "lang-specific rules"): prose/markup
+# rows keep plain unicode61 so camelCase words in docs stay whole tokens.
+CODE_LANGS = frozenset(
+    {
+        "py", "python", "java", "scala", "js", "javascript", "ts",
+        "typescript", "go", "rs", "rust", "c", "cpp", "h", "hpp", "cs",
+        "rb", "ruby", "php", "kt", "kotlin", "swift", "sql", "sh", "bash",
+    }
+)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_code_lang(content: pd.Series, lang: pd.Series) -> pd.Series:
+    """Lang-routed tokenizer: identifier splitting for ``lang ∈
+    CODE_LANGS`` rows, plain unicode61 otherwise.  Two-column pandas UDF —
+    the semantic reference for the Arrow ``code_lang`` path."""
+    pre = content.fillna("")
+    is_code = lang.fillna("").str.lower().isin(CODE_LANGS)
+    if is_code.any():
+        pre = pre.copy()
+        pre[is_code] = pre[is_code].map(_split_identifiers)
+    return _tokenize_series(pre)
+
+
+PROFILES = {
+    "unicode61": tokenize_unicode61,
+    "code": tokenize_code,
+    "code_lang": tokenize_code_lang,
+}
 
 
 def tokenizer_for(profile: str):

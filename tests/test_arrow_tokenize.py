@@ -101,6 +101,53 @@ def test_arrow_code_profile_matches_pandas(spark):
     assert (3, "番茄tomato") in arrow and (3, "7") in arrow
 
 
+def test_arrow_code_lang_profile(spark):
+    """Lang-specific routing: identifier splitting ONLY for code-language
+    rows; prose rows keep unicode61 whole tokens.  Arrow ≡ pandas twin."""
+    from bm25_index_tool_spark.tokenize import tokenize_code_lang
+
+    rows = [
+        (1, "getHttpResponse2 fastPath", "java"),
+        (2, "getHttpResponse2 fastPath", "md"),
+        (3, "naïveCamelCase x9y", "py"),
+        (4, "naïveCamelCase x9y", None),
+        (5, "", "rs"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, txt string, lang string"
+    ).repartition(2)
+    arrow = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in doc_term_freqs(df, F.col("txt"), profile="code_lang").collect()
+    }
+    pdf = (
+        df.select(
+            "doc_id",
+            F.explode(
+                tokenize_code_lang(F.col("txt"), F.col("lang"))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    from pyspark.sql.window import Window
+
+    pdf = pdf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
+    )
+    pandas_ = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"]) for r in pdf.collect()
+    }
+    assert arrow == pandas_
+    # java row split; md row kept whole
+    assert (1, "http") in arrow and (1, "fast") in arrow
+    assert (2, "gethttpresponse2") in arrow and (2, "fastpath") in arrow
+    # non-ASCII code row routed through the exact fallback WITH splitting
+    assert (3, "x") in arrow and (3, "9") in arrow
+    # null lang → prose rules
+    assert (4, "x9y") in arrow
+
+
 def test_code_profile_index_build(spark, tmp_path):
     """End-to-end: a code-profile index build takes the Arrow path and a
     query for a split identifier fragment matches (north-star code-aware
