@@ -19,7 +19,9 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -116,3 +118,77 @@ def frame_sample_plan(features: DataFrame, every_n: int = 30) -> DataFrame:
             F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
         ).alias("sample_frames"),
     )
+
+
+def resize_plan(
+    features: DataFrame, *, max_dim: int = 336
+) -> DataFrame:
+    """Resize *plan* for image/video media: target (w, h) preserving aspect
+    ratio with the long side clamped to ``max_dim`` — pure column
+    expressions.  The pixel work itself belongs to the (stubbed) decoder;
+    at scale this plan column is what a Pandas-UDF resizer consumes, so the
+    expensive step runs exactly once per row with precomputed targets."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_dim) / F.greatest("width", "height").cast("double"),
+    )
+    return features.where(F.col("kind").isin("image", "video")).select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1)).alias(
+            "target_width"
+        ),
+        F.greatest(
+            F.round(F.col("height") * scale).cast("int"), F.lit(1)
+        ).alias("target_height"),
+    )
+
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features_batch(
+    df: DataFrame, *, dim: int = 64, deterministic_fake: bool = False
+) -> DataFrame:
+    """Media → fixed-dim embedding via ``mapInPandas`` (the multimodal
+    feature-extract step; output feeds the simsearch ANN/dedup operators
+    unchanged: brute-force/SRP-LSH/IVF over (media_id, embedding)).
+
+    The embedding model is STUBBED like the decoder: without
+    ``deterministic_fake`` this raises — a real deployment drops in a model
+    UDF with the same (payload bytes → float[dim]) signature."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "Real media embedding requires a vision/audio model (not "
+            "installed here). Pass deterministic_fake=True to exercise "
+            "the plumbing."
+        )
+
+    def _embed(payload: bytes) -> list[float]:
+        out = []
+        i = 0
+        while len(out) < dim:
+            h = hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
+            out.extend(b / 255.0 - 0.5 for b in h)
+            i += 1
+        return [float(x) for x in out[:dim]]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "embedding": [_embed(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(process, EMBED_SCHEMA)

@@ -347,3 +347,33 @@ def test_multimodal_plumbing(spark):
 
     plan = frame_sample_plan(feats, every_n=30).collect()
     assert all(r["sample_frames"][0] == 0 for r in plan)
+
+    # resize plan: long side clamped, aspect preserved, never upscaled
+    from bm25_index_tool_spark.pipeline.multimodal import (
+        extract_features_batch,
+        resize_plan,
+    )
+
+    rp = {r["media_id"]: r for r in resize_plan(feats, max_dim=100).collect()}
+    assert rp and all(
+        max(r["target_width"], r["target_height"]) <= 100
+        and r["target_width"] <= r["width"]
+        for r in rp.values()
+    )
+    wide = next(r for r in rp.values() if r["width"] != r["height"])
+    assert (wide["target_width"] > wide["target_height"]) == (
+        wide["width"] > wide["height"]
+    )
+
+    # feature-extract plumbing: stub raises; fake embeddings are
+    # deterministic, fixed-dim, and feed the ANN operators unchanged
+    with pytest.raises(NotImplementedError):
+        extract_features_batch(media).collect()
+    emb = extract_features_batch(media, dim=32, deterministic_fake=True)
+    erows = emb.collect()
+    assert len(erows) == 30 and all(len(r["embedding"]) == 32 for r in erows)
+    q = [float(x) for x in erows[0]["embedding"]]
+    top = SS.brute_force_topk(
+        emb, q, k=3, id_col="media_id", vec_col="embedding"
+    ).collect()
+    assert top[0]["id"] == erows[0]["media_id"] and top[0]["cosine"] == 1.0
