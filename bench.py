@@ -48,7 +48,7 @@ def main() -> None:
     # SAME job (same tasks) at different parallelism — see BENCH/scaling.py.
     partitions = int(os.environ.get("BENCH_PARTITIONS", str(max(cpus, 16))))
     phases = set(
-        os.environ.get("BENCH_PHASES", "build,query,surface").split(",")
+        os.environ.get("BENCH_PHASES", "build,query,surface,update").split(",")
     )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     load0 = round(os.getloadavg()[0], 2)
@@ -174,6 +174,24 @@ def main() -> None:
             timings["query_warm_p50"] = round(ws[len(ws) // 2], 3)
             timings["query_warm_p95"] = round(ws[max(0, int(len(ws) * 0.95) - 1)], 3)
             index.unload()
+
+        if "update" in phases:
+            # TRUE-delta incremental update: ~1% of documents modified.
+            # Only the delta is tokenized; postings/docs merge per changed
+            # bucket/partition (incremental.py) — compare against
+            # index_build (the full-rebuild cost of the same corpus).
+            from bm25_index_tool_spark.incremental import apply_update
+
+            cur = corpus.withColumn(
+                "content",
+                F.when(
+                    F.crc32(F.col("path")) % 100 == 0,
+                    F.concat_ws(" ", F.col("content"), F.lit("deltamarker update")),
+                ).otherwise(F.col("content")),
+            )
+            t = time.monotonic()
+            apply_update(spark, idx_dir, cur)
+            timings["incremental_update_1pct"] = round(time.monotonic() - t, 3)
 
         if "wand" in phases:
             from bm25_index_tool_spark.blocks import build_blocks
