@@ -48,9 +48,23 @@ def main() -> None:
     # SAME job (same tasks) at different parallelism — see BENCH/scaling.py.
     partitions = int(os.environ.get("BENCH_PARTITIONS", str(max(cpus, 16))))
     phases = set(
-        os.environ.get("BENCH_PHASES", "build,query,surface,update").split(",")
+        os.environ.get(
+            "BENCH_PHASES", "build,query,surface,update,wand"
+        ).split(",")
     )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # -- load gate (VERDICT r02 #2): the host is shared; numbers taken under
+    # ambient tenant load are not comparable round-over-round.  Wait for a
+    # quiet window (1-min load < BENCH_LOAD_GATE) up to BENCH_LOAD_WAIT s,
+    # then record the load actually seen at start + per-phase steal%.
+    load_gate = float(os.environ.get("BENCH_LOAD_GATE", "4.0"))
+    load_wait = float(os.environ.get("BENCH_LOAD_WAIT", "420"))
+    gate_deadline = time.monotonic() + load_wait
+    gate_waited = 0.0
+    while os.getloadavg()[0] >= load_gate and time.monotonic() < gate_deadline:
+        time.sleep(10)
+        gate_waited += 10
     load0 = round(os.getloadavg()[0], 2)
 
     def _cpu_stat():
@@ -59,6 +73,10 @@ def main() -> None:
         return v
 
     cpu0 = _cpu_stat()
+    phase_steal: dict[str, float] = {}
+
+    def _steal_pct(a, b) -> float:
+        return round(100.0 * (b[7] - a[7]) / max(1, sum(b) - sum(a)), 2)
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -121,12 +139,14 @@ def main() -> None:
     idx_base = os.environ.get("BENCH_IDX_DIR", "/dev/shm")
     idx_dir = tempfile.mkdtemp(prefix="bm25_bench_idx_", dir=idx_base)
     try:
+        c0 = _cpu_stat()
         t0 = time.monotonic()
         B.build_index(
             spark, corpus, idx_dir, name="bench",
             num_buckets=partitions, num_partitions=partitions,
         )
         build_sec = time.monotonic() - t0
+        phase_steal["build"] = _steal_pct(c0, _cpu_stat())
         timings["index_build"] = round(build_sec, 3)
         files_per_sec = n_files / build_sec
         # per-stage durations from the build's own lineage checkpoints
@@ -147,6 +167,7 @@ def main() -> None:
             # warm: one query to JIT/plan-cache
             score_query(index, QUERIES[0], 10, include_content=False).collect()
 
+            c0 = _cpu_stat()
             lat = []
 
             for q in QUERIES:
@@ -154,6 +175,7 @@ def main() -> None:
                 score_query(index, q, 10, include_content=False).collect()
                 lat.append(time.monotonic() - t)
             lat_sorted = sorted(lat)
+            phase_steal["query"] = _steal_pct(c0, _cpu_stat())
             timings["query_p50"] = round(lat_sorted[len(lat) // 2], 3)
             timings["query_p95"] = round(lat_sorted[max(0, int(len(lat) * 0.95) - 1)], 3)
             timings["query_total"] = round(sum(lat), 3)
@@ -165,12 +187,14 @@ def main() -> None:
         if "query" in phases:
             # warm path: postings/termstats pinned in executor cache
             index.preload()
+            c0 = _cpu_stat()
             warm = []
             for q in QUERIES:
                 t = time.monotonic()
                 score_query(index, q, 10, include_content=False).collect()
                 warm.append(time.monotonic() - t)
             ws = sorted(warm)
+            phase_steal["query_warm"] = _steal_pct(c0, _cpu_stat())
             timings["query_warm_p50"] = round(ws[len(ws) // 2], 3)
             timings["query_warm_p95"] = round(ws[max(0, int(len(ws) * 0.95) - 1)], 3)
             index.unload()
@@ -189,14 +213,17 @@ def main() -> None:
                     F.concat_ws(" ", F.col("content"), F.lit("deltamarker update")),
                 ).otherwise(F.col("content")),
             )
+            c0 = _cpu_stat()
             t = time.monotonic()
             apply_update(spark, idx_dir, cur)
             timings["incremental_update_1pct"] = round(time.monotonic() - t, 3)
+            phase_steal["update"] = _steal_pct(c0, _cpu_stat())
 
         if "wand" in phases:
             from bm25_index_tool_spark.blocks import build_blocks
             from bm25_index_tool_spark.wand import wand_search
 
+            c0 = _cpu_stat()
             t = time.monotonic()
             build_blocks(spark, idx_dir, num_shards=partitions)
             timings["blocks_build"] = round(time.monotonic() - t, 3)
@@ -207,6 +234,7 @@ def main() -> None:
                 wand_search(index, q, 10).collect()
                 lat.append(time.monotonic() - t)
             ls = sorted(lat)
+            phase_steal["wand"] = _steal_pct(c0, _cpu_stat())
             timings["wand_p50"] = round(ls[len(ls) // 2], 3)
             timings["wand_p95"] = round(ls[max(0, int(len(ls) * 0.95) - 1)], 3)
     finally:
@@ -234,12 +262,10 @@ def main() -> None:
                 "cpus": cpus,
                 "partitions": partitions,
                 "load_avg_start": load0,
-                "steal_pct": round(
-                    100.0
-                    * (_cpu_stat()[7] - cpu0[7])
-                    / max(1, sum(_cpu_stat()) - sum(cpu0)),
-                    2,
-                ),
+                "load_gate": load_gate,
+                "gate_waited_sec": gate_waited,
+                "steal_pct": _steal_pct(cpu0, _cpu_stat()),
+                "phase_steal_pct": phase_steal,
                 "body_x": body_x,
             }
         )

@@ -272,13 +272,70 @@ class BuildCheckpoints:
             return json.load(f)
 
 
+# extension → MIME map (reference derives mime per file at ingest via
+# mimetypes.guess_type with an application/octet-stream fallback,
+# ``vector/indexer.py:80-99``; the core text indexer stores text/plain,
+# ``core/indexer.py:86``).  Kept as data so the Spark Column expression and
+# the DuckDB oracle CASE are generated from ONE source (surface.mime_counts).
+MIME_BY_EXT = {
+    "py": "text/x-python",
+    "java": "text/x-java",
+    "scala": "text/x-scala",
+    "go": "text/x-go",
+    "rs": "text/x-rust",
+    "c": "text/x-c",
+    "h": "text/x-c",
+    "cpp": "text/x-c++",
+    "js": "text/javascript",
+    "ts": "text/typescript",
+    "json": "application/json",
+    "yaml": "application/yaml",
+    "yml": "application/yaml",
+    "xml": "application/xml",
+    "html": "text/html",
+    "css": "text/css",
+    "md": "text/markdown",
+    "sql": "application/sql",
+    "sh": "application/x-sh",
+    "toml": "application/toml",
+    "csv": "text/csv",
+    "txt": "text/plain",
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "gif": "image/gif",
+    "pdf": "application/pdf",
+}
+MIME_FALLBACK = "text/plain"  # text corpus: reference core/indexer.py:86
+
+
+def mime_from_path(path_col) -> F.Column:
+    """MIME type from the path's extension — pure Column expression (one
+    lower+regexp_extract and a hash-map lookup via chained CASE; JVM-side,
+    whole-stage codegen)."""
+    ext = F.lower(F.regexp_extract(path_col, r"\.([A-Za-z0-9]+)$", 1))
+    expr = F.lit(MIME_FALLBACK)
+    for e, m in reversed(list(MIME_BY_EXT.items())):
+        expr = F.when(ext == e, F.lit(m)).otherwise(expr)
+    return expr
+
+
+def mime_case_sql(path_sql: str) -> str:
+    """The DuckDB twin of ``mime_from_path`` — generated from the same map."""
+    ext = f"lower(regexp_extract({path_sql}, '\\.([A-Za-z0-9]+)$', 1))"
+    whens = "\n".join(
+        f"WHEN '{e}' THEN '{m}'" for e, m in MIME_BY_EXT.items()
+    )
+    return f"CASE {ext} {whens} ELSE '{MIME_FALLBACK}' END"
+
+
 def docs_derived_columns(ids: DataFrame) -> DataFrame:
-    """Content-derived columns of the docs table (sha256/md5/size/timestamp)
-    — shared by the full build and the incremental delta path."""
+    """Content-derived columns of the docs table (sha256/md5/size/mime/
+    timestamp) — shared by the full build and the incremental delta path."""
     return (
         ids.withColumn("content_sha256", F.sha2(F.col("content"), 256))
         .withColumn("content_md5", F.md5(F.col("content")))
         .withColumn("size", F.length("content").cast("long"))
+        .withColumn("mime_type", mime_from_path(F.col("path")))
         .withColumn("indexed_at", F.current_timestamp())
     )
 
@@ -593,6 +650,16 @@ def _build(
         return {"rows": got["rows"], "total_tokens": int(got["total_tokens"] or 0)}
 
     m_ts = _stage("termstats", _termstats)
+    if m_ts.get("total_tokens") is None:
+        # resuming over a pre-r02 'termstats' checkpoint that recorded only
+        # {rows}: recompute from the written postings (sum tf == total token
+        # occurrences) instead of KeyError-ing (ADVICE r02)
+        row = (
+            spark.read.parquet(postings_path)
+            .agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("t"))
+            .collect()[0]
+        )
+        m_ts["total_tokens"] = int(row["t"])
     # FTS5 avgdl = total_tokens / nRow over ALL docs — zero-token documents
     # count in the denominator (they are rows in the FTS table with dl=0).
     # A mean over only docs-with-postings would diverge on corpora with

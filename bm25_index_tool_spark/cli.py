@@ -148,10 +148,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.b is not None:
                 params.b = args.b
         elif args.k1 is not None or args.b is not None:
-            params = BM25Params(
-                k1=args.k1 if args.k1 is not None else 1.2,
-                b=args.b if args.b is not None else 0.75,
-            )
+            # partial override: start from <root>/config.toml defaults so a
+            # user who set default_b there and passes only --k1 keeps their
+            # configured b (ADVICE r02)
+            params = client.config.bm25_params()
+            if args.k1 is not None:
+                params.k1 = args.k1
+            if args.b is not None:
+                params.b = args.b
         else:
             params = None  # fall through to <root>/config.toml defaults
         m = client.create_index(

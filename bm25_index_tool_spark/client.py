@@ -113,7 +113,14 @@ class BM25SparkClient:
         if build_vector_index:
             from bm25_index_tool_spark.vector import build_vector_index as _bvi
 
-            _bvi(self.spark, self._index_dir(name))
+            # embedder choice comes from config.toml (default_embedder);
+            # the store records it so search embeds queries with the same
+            # model (VERDICT r02 #7 plug-in seam)
+            _bvi(
+                self.spark,
+                self._index_dir(name),
+                embedder=self.config.default_embedder,
+            )
         reg[name] = {
             "name": name,
             "created_at": manifest.created_at,
@@ -166,12 +173,27 @@ class BM25SparkClient:
             r["lang"]: r["count"]
             for r in docs.groupBy("lang").count().orderBy(F.desc("count"), "lang").collect()
         }
+        # reference stats "document_types": GROUP BY mime_type ORDER BY
+        # count DESC (commands/stats.py:116-133); indexes built before the
+        # column existed simply omit the breakdown
+        by_mime = (
+            {
+                r["mime_type"]: r["count"]
+                for r in docs.groupBy("mime_type")
+                .count()
+                .orderBy(F.desc("count"), "mime_type")
+                .collect()
+            }
+            if "mime_type" in docs.columns
+            else {}
+        )
         n_terms = idx.termstats().count()
         return {
             "name": name,
             "document_count": agg["n"],
             "total_size": agg["total_size"],
             "by_lang": by_lang,
+            "by_mime": by_mime,
             "distinct_terms": n_terms,
             "avgdl": idx.manifest.avgdl,
             "num_buckets": idx.manifest.num_buckets,
@@ -209,11 +231,19 @@ class BM25SparkClient:
         }
         vec_dir = os.path.join(idx_dir, "vector")
         if os.path.exists(vec_dir):
+            import json as _json
+
             from bm25_index_tool_spark.vector import FAKE_EMBED_DIM
 
+            model, dim = "deterministic-stub (see vector.py)", FAKE_EMBED_DIM
+            meta_path = os.path.join(vec_dir, "_meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    vm = _json.load(f)
+                model, dim = vm["embedder"], vm["dim"]
             out["vector_metadata"] = {
-                "embedding_model": "deterministic-stub (see vector.py)",
-                "dimensions": FAKE_EMBED_DIM,
+                "embedding_model": model,
+                "dimensions": dim,
             }
         return out
 

@@ -58,6 +58,7 @@ class GlobalConfig:
     default_b: float = 0.75
     default_num_buckets: int = 32
     default_tokenizer_profile: str = "unicode61"
+    default_embedder: str = "fake-md5"  # vector.EMBEDDERS key (plug-in seam)
     search_cache_size: int = 100
     extras: dict = field(default_factory=dict)
 
@@ -70,6 +71,7 @@ _KNOWN = {
     "default_b": float,
     "default_num_buckets": int,
     "default_tokenizer_profile": str,
+    "default_embedder": str,
     "search_cache_size": int,
 }
 

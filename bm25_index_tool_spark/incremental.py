@@ -118,19 +118,132 @@ def _ensure_nonempty_partitioned(
 
 
 def _swap_partitions(
-    live_dir: str, tmp_dir: str, part_col: str, values: list
+    live_dir: str, tmp_dir: str, part_col: str, values: list,
+    fresh_values: list | None = None,
 ) -> None:
     """Atomically-ish replace ``live_dir/part_col=v`` with the freshly
     written ``tmp_dir/part_col=v`` for each v; a value with no output in
-    tmp (everything in the partition was removed) deletes the live dir."""
+    tmp (everything in the partition was removed) deletes the live dir.
+
+    ``fresh_values`` (recovery roll-forward) lists the values that HAD
+    fresh output when the update was journaled: a value absent from tmp but
+    present in ``fresh_values`` was already moved by the crashed run and is
+    left alone, making the swap idempotent under re-execution."""
+    fresh_set = set() if fresh_values is None else set(fresh_values)
     for v in values:
         live = os.path.join(live_dir, f"{part_col}={v}")
         fresh = os.path.join(tmp_dir, f"{part_col}={v}")
-        if os.path.exists(live):
-            shutil.rmtree(live)
         if os.path.exists(fresh):
+            if os.path.exists(live):
+                shutil.rmtree(live)
             os.replace(fresh, live)
+        elif v not in fresh_set and os.path.exists(live):
+            # genuinely emptied-out partition → delete
+            shutil.rmtree(live)
+        # else: already swapped by a crashed run — keep live as-is
     shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+JOURNAL = "_update.journal"
+
+
+def _fresh_parts(tmp_dir: str, part_col: str) -> list:
+    """Partition values actually present in a staged tmp dir."""
+    if not os.path.isdir(tmp_dir):
+        return []
+    vals = []
+    for n in os.listdir(tmp_dir):
+        if n.startswith(f"{part_col}="):
+            vals.append(int(n.split("=", 1)[1]))
+    return sorted(vals)
+
+
+def recover_if_needed(spark: SparkSession, index_dir: str) -> bool:
+    """Roll a crashed ``apply_update`` forward (ADVICE r02).
+
+    ``apply_update`` stages every new partition under ``*.update-tmp``,
+    then durably journals its intent (``_update.journal``: the partitions
+    to swap, the new manifest JSON, whether blocks must be re-derived)
+    before the first live mutation, and deletes the journal only after the
+    last write.  Consequences:
+
+    * crash BEFORE the journal → live index untouched; stray tmp dirs are
+      deleted here (returns False);
+    * crash AFTER the journal → this function re-executes the commit phase
+      idempotently (the ``fresh_values`` lists make partially-completed
+      swaps safe to re-run), rewrites the manifest from the journal, and —
+      because the in-flight delta DataFrames died with the crashed driver —
+      re-derives the block engine from the committed postings.
+
+    No ghost postings can survive: the journaled swap set covers every
+    bucket whose postings reference removed/added doc_ids, so replaying
+    the commit phase converges postings, termstats, docs, manifest and
+    blocks to the same post-update state the crashed run was producing.
+    Called automatically at the top of ``apply_update``; safe to call any
+    time (no-op without a journal).
+    """
+    import json as _json
+
+    from bm25_index_tool_spark import build as B
+
+    jpath = os.path.join(index_dir, JOURNAL)
+    postings_path = os.path.join(index_dir, B.POSTINGS_DIR)
+    termstats_path = os.path.join(index_dir, B.TERMSTATS_DIR)
+    docs_path = os.path.join(index_dir, B.DOCS_DIR)
+    if not os.path.exists(jpath):
+        # pre-journal crash (or clean state): discard any stray staging dirs
+        for p in (postings_path, termstats_path, docs_path):
+            shutil.rmtree(p + ".update-tmp", ignore_errors=True)
+        return False
+
+    from pyspark.sql.types import StructType
+
+    with open(jpath) as f:
+        j = _json.load(f)
+
+    post_schema = StructType.fromJson(j["post_schema"])
+    ts_schema = StructType.fromJson(j["ts_schema"])
+    docs_schema = StructType.fromJson(j["docs_schema"])
+
+    if j["changed_buckets"]:
+        _swap_partitions(
+            termstats_path, termstats_path + ".update-tmp", "bucket",
+            j["changed_buckets"], j["ts_fresh"],
+        )
+        _swap_partitions(
+            postings_path, postings_path + ".update-tmp", "bucket",
+            j["changed_buckets"], j["post_fresh"],
+        )
+        _ensure_nonempty_partitioned(spark, postings_path, "bucket", post_schema)
+        _ensure_nonempty_partitioned(spark, termstats_path, "bucket", ts_schema)
+    tmp_docs = docs_path + ".update-tmp"
+    if j["docs_full_rewrite"]:
+        if os.path.isdir(tmp_docs) and os.path.exists(
+            os.path.join(tmp_docs, "_SUCCESS")
+        ):
+            shutil.rmtree(docs_path, ignore_errors=True)
+            os.replace(tmp_docs, docs_path)
+        # tmp already consumed by the crashed run → docs swap completed
+    elif j["changed_pts"]:
+        _swap_partitions(
+            docs_path, tmp_docs, "doc_pt", j["changed_pts"], j["docs_fresh"]
+        )
+    _ensure_nonempty_partitioned(spark, docs_path, "doc_pt", docs_schema)
+
+    with open(os.path.join(index_dir, B.MANIFEST), "w") as f:
+        f.write(j["manifest_json"])
+
+    if j.get("blocks_stale") and os.path.exists(
+        os.path.join(index_dir, B.BLOCKS_DIR)
+    ):
+        from bm25_index_tool_spark.blocks import build_blocks
+
+        build_blocks(spark, index_dir)
+
+    os.remove(jpath)
+    for p in (postings_path, termstats_path, docs_path):
+        shutil.rmtree(p + ".update-tmp", ignore_errors=True)
+    return True
 
 
 def apply_update(
@@ -155,6 +268,7 @@ def apply_update(
 
     from bm25_index_tool_spark import build as B
 
+    recover_if_needed(spark, index_dir)
     manifest = B.load_manifest(index_dir)
     nb = manifest.num_buckets
     if num_buckets and num_buckets != nb:
@@ -175,6 +289,24 @@ def apply_update(
     counts = changes.counts()
     if all(v == 0 for v in counts.values()):
         return manifest
+
+    # duplicate full_paths within the delta would assign two doc_ids to one
+    # path (ADVICE r02) — reject early; the streaming path dedupes each
+    # micro-batch upstream (streaming.stream_index_updates)
+    dup = (
+        changes.added.select("full_path")
+        .unionByName(changes.modified.select("full_path"))
+        .groupBy("full_path")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate full_path in update corpus: {dup[0]['full_path']!r}"
+            " — dedupe the input to one row per path before apply_update"
+        )
 
     # ---- removed ids: deleted docs + old versions of modified docs --------
     modified_ids = changes.modified.join(
@@ -250,6 +382,14 @@ def apply_update(
 
     changed = sorted(delta_buckets | hit_buckets)
 
+    tmp_post = postings_path.rstrip("/") + ".update-tmp"
+    tmp_ts = termstats_path.rstrip("/") + ".update-tmp"
+    tmp_docs = docs_path.rstrip("/") + ".update-tmp"
+
+    # ======== STAGE phase: write every new partition to .update-tmp ========
+    # No live file is touched until the journal below is durably written; a
+    # crash anywhere in this phase leaves the index untouched (stray tmp
+    # dirs are discarded by the next apply_update's recover_if_needed).
     if changed:
         # ---- merge postings for changed buckets only (per-bucket swap) ----
         merged = (
@@ -257,7 +397,6 @@ def apply_update(
             .join(rem, "doc_id", "left_anti")
             .unionByName(delta_post.select(*old_post.columns))
         )
-        tmp_post = postings_path.rstrip("/") + ".update-tmp"
         (
             merged.repartition(len(changed), "bucket")
             .sortWithinPartitions("term", "doc_id")
@@ -265,7 +404,6 @@ def apply_update(
             .partitionBy("bucket")
             .parquet(tmp_post)
         )
-        tmp_ts = termstats_path.rstrip("/") + ".update-tmp"
         if any(n.startswith("bucket=") for n in os.listdir(tmp_post)):
             # termstats for changed buckets: term → bucket is functional, so
             # a changed bucket's df values derive entirely from its merged
@@ -287,21 +425,18 @@ def apply_update(
             # every changed bucket emptied out — swaps below just delete
             shutil.rmtree(tmp_ts, ignore_errors=True)
             os.makedirs(tmp_ts)
-        # capture schemas BEFORE the swap (lineage points at live files)
-        post_schema = old_post.drop("bucket").schema
-        ts_schema = spark.read.parquet(termstats_path).drop("bucket").schema
-        _swap_partitions(termstats_path, tmp_ts, "bucket", changed)
-        _swap_partitions(postings_path, tmp_post, "bucket", changed)
-        # if every bucket emptied out (corpus shrank to nothing), leave a
-        # readable schema'd-empty table like the full build does
-        _ensure_nonempty_partitioned(spark, postings_path, "bucket", post_schema)
-        _ensure_nonempty_partitioned(spark, termstats_path, "bucket", ts_schema)
+    # capture schemas BEFORE any swap (lineage points at live files)
+    post_schema = old_post.drop("bucket").schema
+    ts_schema = spark.read.parquet(termstats_path).drop("bucket").schema
+    docs_schema = docs.drop("doc_pt").schema
 
-    # ---- docs table: rewrite only partitions containing changed ids --------
+    # ---- docs table: stage only partitions containing changed ids ----------
     delta_docs = B.docs_derived_columns(delta_full).withColumn(
         "doc_pt", F.pmod(F.col("doc_id"), F.lit(nb))
     )
-    if "doc_pt" not in docs.columns:
+    docs_full_rewrite = "doc_pt" not in docs.columns
+    changed_pts: list = []
+    if docs_full_rewrite:
         # index built before the docs table was doc_pt-partitioned: one-time
         # full rewrite onto the partitioned layout (no tokenization either way)
         full = (
@@ -310,13 +445,12 @@ def apply_update(
             .unionByName(delta_docs.select(*docs.columns, "doc_pt"))
             .localCheckpoint(eager=True)
         )
-        shutil.rmtree(docs_path)
         (
             full.repartition(nb, "doc_pt")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .partitionBy("doc_pt")
-            .parquet(docs_path)
+            .parquet(tmp_docs)
         )
     else:
         removed_pts = {
@@ -336,7 +470,6 @@ def apply_update(
                 .join(rem, "doc_id", "left_anti")
                 .unionByName(delta_docs.select(*docs_cols))
             )
-            tmp_docs = docs_path.rstrip("/") + ".update-tmp"
             (
                 merged_docs.repartition(len(changed_pts), "doc_pt")
                 .sortWithinPartitions("doc_id")
@@ -344,8 +477,6 @@ def apply_update(
                 .partitionBy("doc_pt")
                 .parquet(tmp_docs)
             )
-            _swap_partitions(docs_path, tmp_docs, "doc_pt", changed_pts)
-    _ensure_nonempty_partitioned(spark, docs_path, "doc_pt", docs.drop("doc_pt").schema)
 
     # ---- manifest: exact delta-adjusted N / total_tokens / avgdl -----------
     new_num_docs = manifest.num_docs - counts["deleted"] + counts["added"]
@@ -361,6 +492,49 @@ def apply_update(
         source=manifest.source,
         total_tokens=new_total,
     )
+
+    # ======== JOURNAL: durably record intent before touching live state ====
+    # The journal carries everything recovery needs to roll the commit phase
+    # FORWARD: which partitions swap (and which had fresh output, making the
+    # swap idempotent under re-execution), the complete new manifest, and
+    # whether the block engine must be re-derived (ADVICE r02).
+    import json as _json
+
+    journal = {
+        "changed_buckets": changed,
+        "post_fresh": _fresh_parts(tmp_post, "bucket"),
+        "ts_fresh": _fresh_parts(tmp_ts, "bucket"),
+        "docs_full_rewrite": docs_full_rewrite,
+        "changed_pts": changed_pts,
+        "docs_fresh": _fresh_parts(tmp_docs, "doc_pt"),
+        "post_schema": post_schema.jsonValue(),
+        "ts_schema": ts_schema.jsonValue(),
+        "docs_schema": docs_schema.jsonValue(),
+        "manifest_json": new_manifest.to_json(),
+        "blocks_stale": os.path.exists(os.path.join(index_dir, B.BLOCKS_DIR)),
+    }
+    jpath = os.path.join(index_dir, JOURNAL)
+    with open(jpath + ".tmp", "w") as f:
+        _json.dump(journal, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(jpath + ".tmp", jpath)
+
+    # ======== COMMIT phase: swaps + manifest + blocks ======================
+    if changed:
+        _swap_partitions(termstats_path, tmp_ts, "bucket", changed)
+        _swap_partitions(postings_path, tmp_post, "bucket", changed)
+        # if every bucket emptied out (corpus shrank to nothing), leave a
+        # readable schema'd-empty table like the full build does
+        _ensure_nonempty_partitioned(spark, postings_path, "bucket", post_schema)
+        _ensure_nonempty_partitioned(spark, termstats_path, "bucket", ts_schema)
+    if docs_full_rewrite:
+        shutil.rmtree(docs_path)
+        os.replace(tmp_docs, docs_path)
+    elif changed_pts:
+        _swap_partitions(docs_path, tmp_docs, "doc_pt", changed_pts)
+    _ensure_nonempty_partitioned(spark, docs_path, "doc_pt", docs_schema)
+
     with open(os.path.join(index_dir, B.MANIFEST), "w") as f:
         f.write(new_manifest.to_json())
 
@@ -376,4 +550,5 @@ def apply_update(
             removed_ids,
         )
     delta_post.unpersist()
+    os.remove(jpath)
     return new_manifest

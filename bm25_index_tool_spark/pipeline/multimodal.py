@@ -66,8 +66,13 @@ def synthetic_media_df(spark: SparkSession, n: int = 64, seed: int = 42) -> Data
 
 def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, str]:
     """Deterministic fake decode: dimensions/frame-count derived from the
-    payload hash.  REPLACE with a real decoder on a real cluster."""
-    h = hashlib.sha256(payload).hexdigest()
+    payload hash.  REPLACE with a real decoder on a real cluster.
+
+    The hash is taken over the payload's *lowercase-hex encoding* (not the
+    raw bytes) so the whole fake is expressible in ANSI SQL — DuckDB's
+    sha256() accepts only VARCHAR — giving ``multimodal_features`` a true
+    value-hash oracle (VERDICT r02 #1)."""
+    h = hashlib.sha256(payload.hex().encode()).hexdigest()
     width = 64 + int(h[:4], 16) % 1024
     height = 64 + int(h[4:8], 16) % 1024
     n_frames = 1 if kind == "image" else 1 + int(h[8:12], 16) % 300

@@ -69,12 +69,20 @@ class LoadedIndex:
         return self._read(B.TERMSTATS_DIR)
 
     def doclens(self) -> DataFrame:
-        """(doc_id, dl) for docs with ≥1 token — a projection of postings
-        (dl is denormalized there; no separate doclens table exists)."""
-        return (
+        """(doc_id, dl) for EVERY document — FTS5 nRow semantics: zero-token
+        docs appear with dl=0 (ADVICE r02).  dl for docs with postings is a
+        projection of postings (denormalized there; no separate doclens
+        table); the docs table fills the dl=0 rows."""
+        nonzero = (
             self.postings()
             .groupBy("doc_id")
             .agg(F.max("dl").cast("int").alias("dl"))
+        )
+        return (
+            self.docs()
+            .select("doc_id")
+            .join(nonzero, "doc_id", "left")
+            .withColumn("dl", F.coalesce("dl", F.lit(0)).cast("int"))
         )
 
     def preload(self, include_docs: bool = False) -> "LoadedIndex":
@@ -257,6 +265,9 @@ def score_query_batch(
         .select("query_id", "query", "doc_id", "score", "rank")
     )
     docs = index.docs().select("doc_id", F.col("full_path").alias("path"))
-    return topk.join(docs, "doc_id").select(
+    # broadcast the ≤ n_queries×k winners (matches the single-query path;
+    # VERDICT r02 #5: without the hint, pre-AQE stats on a window output are
+    # unknown and a planner miss here shuffles the full docs table)
+    return F.broadcast(topk).join(docs, "doc_id").select(
         "query_id", "query", "doc_id", "path", "score", "rank"
     ).orderBy("query_id", "rank")

@@ -16,7 +16,16 @@ Spark-first shape: ``readStream`` over the drop directory → ``writeStream
 * **Replay-safe** — the merge diffs on (full_path, md5(content)), so a
   re-delivered batch (failure/restart between foreachBatch and the
   source-offset commit) produces an empty ChangeSet and the index is
-  unchanged: effective exactly-once without any sink-side transaction.
+  unchanged.  A crash *inside* the merge is covered by the sink-side
+  journal (incremental.recover_if_needed rolls the half-applied update
+  forward before the replayed batch is diffed) — together these give
+  effectively-once application; the exactly-once guarantee is the pair
+  (md5 diff idempotence + journal), not the diff alone (ADVICE r02).
+* **Within-batch dedup** — a micro-batch can carry several rows for one
+  path (a file rewritten twice before a trigger, or present in two
+  dropped files); `_merge` keeps the newest row per (repo, path) by
+  source-file modification time before the diff, so `apply_update`
+  never sees duplicate full_paths (ADVICE r02).
 * **Checkpointed** — source offsets live in ``checkpoint_dir`` (Spark's
   own WAL); the index's per-stage lineage checkpoints cover the inside of
   a batch.
@@ -54,17 +63,40 @@ def stream_index_updates(
     parquet file appearing under ``source_dir`` into the index at
     ``index_dir``.  Callers own the returned query's lifecycle
     (``awaitTermination`` / ``stop``)."""
+    from pyspark.sql import Window, functions as F
+
     reader = spark.readStream.schema(CORPUS_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir)
+    # _metadata must be selected ON the streaming source relation — inside
+    # foreachBatch the batch arrives as a plain RDD-backed frame where the
+    # hidden file-metadata column no longer resolves
+    stream = reader.parquet(source_dir).withColumns(
+        {
+            "_mtime": F.col("_metadata.file_modification_time"),
+            "_src": F.col("_metadata.file_path"),
+        }
+    )
 
     def _merge(batch_df, batch_id: int) -> None:
         from bm25_index_tool_spark.incremental import apply_update
 
-        # foreachBatch hands a plain batch DataFrame; empty batches are
-        # no-ops inside apply_update (empty ChangeSet short-circuit)
-        apply_update(spark, index_dir, batch_df, mode="upsert")
+        # within-batch dedup (ADVICE r02): keep the newest row per path by
+        # source-file mtime, deterministically tie-broken by source path +
+        # content hash
+        w = Window.partitionBy("repo", "path").orderBy(
+            F.col("_mtime").desc_nulls_last(),
+            F.col("_src").desc(),
+            F.md5("content").desc(),
+        )
+        deduped = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_mtime", "_src", "_rn")
+        )
+        # empty batches are no-ops inside apply_update (empty ChangeSet
+        # short-circuit)
+        apply_update(spark, index_dir, deduped, mode="upsert")
 
     writer = stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir

@@ -538,6 +538,50 @@ def q_lang_counts(spark, sf_dir):
 SQL_LANG_COUNTS = "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang"
 
 
+# mime-type stats (reference GROUP BY mime_type, commands/stats.py:116-133).
+# The documents test table has no path column, so both engines derive a
+# deterministic synthetic path per doc_id and run the SAME ext→mime mapping
+# (generated from build.MIME_BY_EXT on both sides) — this value-checks the
+# actual derivation expression used at ingest, not just a count.
+MIME_TEST_EXTS = ["py", "java", "go", "json", "md", "png", "weird", "sh"]
+
+
+def q_mime_counts(spark, sf_dir):
+    from bm25_index_tool_spark.build import mime_from_path
+
+    n = len(MIME_TEST_EXTS)
+    path = F.concat(
+        F.lit("f"),
+        F.col("doc_id").cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(*[F.lit(e) for e in MIME_TEST_EXTS]),
+            (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int"),
+        ),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(mime_from_path(path).alias("mime_type"))
+        .groupBy("mime_type")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _sql_mime_counts() -> str:
+    from bm25_index_tool_spark.build import mime_case_sql
+
+    exts = ", ".join(f"'{e}'" for e in MIME_TEST_EXTS)
+    n = len(MIME_TEST_EXTS)
+    return f"""
+SELECT {mime_case_sql('p')} AS mime_type, CAST(count(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT 'f' || doc_id || '.' || [{exts}][(doc_id % {n}) + 1] AS p
+  FROM documents
+)
+GROUP BY 1
+"""
+
+
 def q_source_sizes(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -1320,7 +1364,9 @@ FROM dedup WHERE rn = 1
 ORDER BY score DESC, doc_id LIMIT {SEMANTIC_K}"""
 
 
-# -- multimodal plumbing (no SQL oracle: mapInPandas; rows-only check) ---------
+# -- multimodal plumbing (mapInPandas; value-hash oracle: the deterministic
+# fake decode hashes the payload's lowercase-hex encoding, so DuckDB can
+# replay it with sha256(VARCHAR) + hex-literal casts — VERDICT r02 #1) ---------
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1331,6 +1377,30 @@ def q_multimodal_features(spark, sf_dir):
 
     media = synthetic_media_df(spark, n=96, seed=42)
     return decode_image_batch(media, deterministic_fake=True)
+
+
+# payload_i = sha256("42:i").digest() * (1 + i%5); the fake decode hashes
+# payload.hex(), and hex(digest*k) == hexdigest*k, so the oracle rebuilds
+# the hash chain entirely in VARCHAR space.
+SQL_MULTIMODAL = """
+WITH gen AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+         END AS kind,
+         sha256(repeat(sha256('42:' || i), 1 + i % 5)) AS h
+  FROM range(0, 96) t(i)
+)
+SELECT i::BIGINT AS media_id,
+       kind,
+       (64 + ('0x' || substr(h, 1, 4))::INT % 1024)::INT AS width,
+       (64 + ('0x' || substr(h, 5, 4))::INT % 1024)::INT AS height,
+       (CASE WHEN kind = 'image' THEN 1
+             ELSE 1 + ('0x' || substr(h, 9, 4))::INT % 300 END)::INT
+         AS n_frames,
+       substr(h, 1, 16) AS feature_hash
+FROM gen
+ORDER BY media_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1353,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths": q_doc_lengths,
         "term_df_top50": q_term_df_top50,
         "lang_counts": q_lang_counts,
+        "mime_counts": q_mime_counts,
         "source_sizes": q_source_sizes,
         "incremental_changes": q_incremental_changes,
         "related_terms_doc0": q_related_terms_doc0,
@@ -1392,6 +1463,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lengths": SQL_DOC_LENGTHS,
         "term_df_top50": SQL_TERM_DF_TOP50,
         "lang_counts": SQL_LANG_COUNTS,
+        "mime_counts": _sql_mime_counts(),
         "source_sizes": SQL_SOURCE_SIZES,
         "incremental_changes": SQL_INCREMENTAL,
         "related_terms_doc0": _sql_related(),
@@ -1412,5 +1484,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _sql_quality(),
         "lang_id": _sql_lang_id(),
         "fingerprints": SQL_FINGERPRINTS,
-        # multimodal_features: mapInPandas plumbing — rows-only check
+        "multimodal_features": SQL_MULTIMODAL,
     }

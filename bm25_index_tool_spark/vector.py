@@ -133,13 +133,14 @@ def truncate_at_word_boundary(text: F.Column, max_chars: int) -> F.Column:
 # ---------------------------------------------------------------------------
 
 
-def _fake_vector(text: str, dim: int = FAKE_EMBED_DIM) -> list[float]:
-    """md5-seeded pseudo-embedding in [-1, 1]^dim, L2-normalized.
+def _pseudo_vector(text: str, dim: int, algo: str) -> list[float]:
+    """Hash-seeded pseudo-embedding in [-1, 1]^dim, L2-normalized.
     DETERMINISTIC STAND-IN for a real embedding model (the reference calls
-    AWS Bedrock here, ``vector/embeddings.py`` — unavailable offline)."""
+    AWS Bedrock here, ``vector/embeddings.py:24-26`` — unavailable
+    offline)."""
     out = np.empty(dim, dtype=np.float64)
     for j in range(0, dim, 4):
-        h = hashlib.md5(f"{j}|{text}".encode()).digest()
+        h = hashlib.new(algo, f"{j}|{text}".encode()).digest()
         vals = struct.unpack(">4i", h[:16])
         for k, v in enumerate(vals):
             if j + k < dim:
@@ -150,16 +151,71 @@ def _fake_vector(text: str, dim: int = FAKE_EMBED_DIM) -> list[float]:
     return [float(x) for x in out]
 
 
-def fake_embed_udf(dim: int = FAKE_EMBED_DIM):
-    """Vectorized pandas UDF ``string -> array<float>`` — swap in a real
-    model UDF (same signature) for production."""
+def _fake_vector(text: str, dim: int = FAKE_EMBED_DIM) -> list[float]:
+    return _pseudo_vector(text, dim, "md5")
+
+
+# ---------------------------------------------------------------------------
+# Embedder plug-in contract (VERDICT r02 #7)
+#
+# An embedder is a plain function ``(text: str, dim: int) -> list[float]``
+# registered under a name.  The engine consumes it exclusively through
+# ``embedder_udf`` (an Arrow-batched pandas UDF ``string -> array<float>``
+# applied at chunk-index build) and ``embed_query`` (driver-side, for the
+# single query string) — the reference's EmbeddingGenerator seam
+# (``vector/embeddings.py:24-26``, Bedrock batch text → float[1024]).
+#
+# ``build_vector_index`` persists the embedder name + dim in
+# ``vector/_meta.json`` so the search path ALWAYS embeds queries with the
+# model that built the store — swapping models is a one-line config change
+# (``default_embedder`` in config.toml) or a register_embedder() call, and
+# nothing in chunking/search changes.  A production deployment registers a
+# real model client here; per-row work stays inside a vectorized UDF.
+# ---------------------------------------------------------------------------
+
+EMBEDDERS: dict = {
+    "fake-md5": _fake_vector,
+    "fake-sha1": lambda t, d=FAKE_EMBED_DIM: _pseudo_vector(t, d, "sha1"),
+}
+DEFAULT_EMBEDDER = "fake-md5"
+
+
+def register_embedder(name: str, fn) -> None:
+    """Register a ``(text, dim) -> list[float]`` embedding function (e.g.
+    a real model client).  It will run inside an Arrow-batched pandas UDF;
+    batch-level model calls belong inside ``fn``'s closure."""
+    EMBEDDERS[name] = fn
+
+
+def _require_embedder(name: str):
+    if name not in EMBEDDERS:
+        raise ValueError(
+            f"unknown embedder {name!r}; registered: {sorted(EMBEDDERS)}"
+        )
+    return EMBEDDERS[name]
+
+
+def embed_query(name: str, text: str, dim: int = FAKE_EMBED_DIM) -> list[float]:
+    """Driver-side single-string embedding (query path)."""
+    return [float(x) for x in _require_embedder(name)(text, dim)]
+
+
+def embedder_udf(name: str = DEFAULT_EMBEDDER, dim: int = FAKE_EMBED_DIM):
+    """Vectorized pandas UDF ``string -> array<float>`` for the registered
+    embedder — the only place document text meets the model."""
+    fn = _require_embedder(name)
     from pyspark.sql.types import ArrayType, FloatType
 
     @F.pandas_udf(ArrayType(FloatType()))
     def embed(texts: pd.Series) -> pd.Series:
-        return texts.fillna("").map(lambda t: _fake_vector(t, dim))
+        return texts.fillna("").map(lambda t: fn(t, dim))
 
     return embed
+
+
+def fake_embed_udf(dim: int = FAKE_EMBED_DIM):
+    """Back-compat alias for ``embedder_udf(DEFAULT_EMBEDDER, dim)``."""
+    return embedder_udf(DEFAULT_EMBEDDER, dim)
 
 
 # ---------------------------------------------------------------------------
@@ -223,11 +279,15 @@ def build_vector_index(
     chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
     max_chars: int | None = 48_000,
     dim: int = FAKE_EMBED_DIM,
+    embedder: str = DEFAULT_EMBEDDER,
 ) -> dict:
     """Chunk the index's docs table and embed every chunk; write
     ``index_dir/vector/`` parquet (path, chunk_index, chunk_text,
-    word_count, embedding).  Embedding is the deterministic stand-in —
-    see module docstring."""
+    word_count, embedding) + ``_meta.json`` recording which embedder/dim
+    built the store (the search path embeds queries with the same model).
+    The default embedder is the deterministic stand-in — see module
+    docstring."""
+    import json
     import os
 
     from bm25_index_tool_spark import build as B
@@ -241,7 +301,7 @@ def build_vector_index(
         chunk_overlap=chunk_overlap,
         max_chars=max_chars,
     )
-    embed = fake_embed_udf(dim)
+    embed = embedder_udf(embedder, dim)
     out_path = os.path.join(index_dir, VECTOR_DIR)
     from pyspark.sql import Observation
 
@@ -252,14 +312,19 @@ def build_vector_index(
         .write.mode("overwrite")
         .parquet(out_path)
     )
-    return {"n_chunks": obs.get["n_chunks"], "dim": dim}
+    meta = {"embedder": embedder, "dim": dim, "n_chunks": obs.get["n_chunks"]}
+    with open(os.path.join(out_path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
 
 
 def semantic_search_index(
-    spark, index_dir: str, query: str, top_k: int = 10, *, dim: int = FAKE_EMBED_DIM
+    spark, index_dir: str, query: str, top_k: int = 10, *, dim: int | None = None
 ) -> DataFrame:
-    """Client entry: embed the query (stand-in embedder), search the
-    materialized chunk vectors, per-doc dedupe, top-k."""
+    """Client entry: embed the query with the SAME embedder that built the
+    store (``vector/_meta.json``), search the materialized chunk vectors,
+    per-doc dedupe, top-k."""
+    import json
     import os
 
     path = os.path.join(index_dir, VECTOR_DIR)
@@ -268,7 +333,13 @@ def semantic_search_index(
             f"Vector index not found under {index_dir}; create with "
             "build_vector_index (or create_index(build_vector_index=True))"
         )
-    qv = _fake_vector(query, dim)
+    meta_path = os.path.join(path, "_meta.json")
+    name, meta_dim = DEFAULT_EMBEDDER, FAKE_EMBED_DIM  # pre-meta stores
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        name, meta_dim = meta["embedder"], meta["dim"]
+    qv = embed_query(name, query, dim if dim is not None else meta_dim)
     return semantic_search_chunks(
         spark.read.parquet(path), qv, top_k, doc_col="path"
     )

@@ -124,3 +124,71 @@ def test_checkpoint_resume(spark, tmp_path):
     # per-bucket lineage metrics recorded
     pm = ckpt.read("postings")
     assert sum(pm["per_bucket_rows"].values()) == pm["rows"] > 0
+
+
+def test_resume_over_pre_r02_termstats_checkpoint(spark, tmp_path):
+    """ADVICE r02: a 'termstats' stage checkpoint written before
+    total_tokens was recorded ({rows} only) must not KeyError on resume —
+    total_tokens is recomputed from the written postings."""
+    import json
+    import os
+
+    rows = C.generate_rows(40, seed=9)
+    df = spark.createDataFrame(rows, C.CORPUS_SCHEMA)
+    broken = str(tmp_path / "old_ckpt")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        B.build_index(
+            spark, df, broken, num_buckets=4, fail_after_stage="termstats"
+        )
+    ckpt = B.BuildCheckpoints(broken)
+    assert ckpt.is_complete("termstats")
+    # rewrite the stage JSON as a pre-r02 build would have left it
+    p = ckpt._path("termstats")
+    with open(p) as f:
+        j = json.load(f)
+    j.pop("total_tokens")
+    with open(p, "w") as f:
+        json.dump(j, f)
+
+    m1 = B.build_index(spark, df, broken, num_buckets=4, resume=True)
+    m2 = B.build_index(spark, df, str(tmp_path / "clean"), num_buckets=4)
+    assert m1.total_tokens == m2.total_tokens > 0
+    assert m1.avgdl == m2.avgdl
+
+
+def test_mime_type_column_and_stats(spark, tmp_path):
+    """VERDICT r02 #6: mime_type derived from path extension at ingest
+    (reference vector/indexer.py:80-99 guess + core text fallback) and
+    surfaced as the stats document-types breakdown
+    (reference commands/stats.py:116-133)."""
+    from bm25_index_tool_spark.build import MIME_BY_EXT, MIME_FALLBACK
+    from bm25_index_tool_spark.client import BM25SparkClient
+
+    rows = [
+        ("r", "src/a.py", "c", "python", "import os"),
+        ("r", "src/b.py", "c", "python", "import sys"),
+        ("r", "web/x.html", "c", "html", "<html>hello</html>"),
+        ("r", "conf/y.YAML", "c", "yaml", "a: 1"),       # case-folded ext
+        ("r", "notes/z.unknownext", "c", "txt", "plain"),  # fallback
+        ("r", "LICENSE", "c", "txt", "no extension"),      # fallback
+    ]
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "m", spark.createDataFrame(rows, C.CORPUS_SCHEMA), num_buckets=2
+    )
+    docs = client._require("m").docs()
+    got = {r["path"]: r["mime_type"] for r in docs.collect()}
+    assert got["src/a.py"] == MIME_BY_EXT["py"]
+    assert got["web/x.html"] == MIME_BY_EXT["html"]
+    assert got["conf/y.YAML"] == MIME_BY_EXT["yaml"]
+    assert got["notes/z.unknownext"] == MIME_FALLBACK
+    assert got["LICENSE"] == MIME_FALLBACK
+
+    st = client.stats("m")
+    assert st["by_mime"][MIME_BY_EXT["py"]] == 2
+    assert st["by_mime"][MIME_FALLBACK] == 2
+    # ordered count-desc like the reference stats view
+    assert list(st["by_mime"].values()) == sorted(
+        st["by_mime"].values(), reverse=True
+    )

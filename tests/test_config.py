@@ -77,3 +77,30 @@ def test_client_uses_config_defaults(spark, tmp_path):
         params=BM25Params(k1=0.9, b=0.4), num_buckets=2,
     )
     assert m2.num_buckets == 2 and m2.params.k1 == 0.9
+
+
+def test_cli_partial_k1_keeps_configured_b(spark, tmp_path):
+    """ADVICE r02: `create --k1 2.0` with default_b in config.toml must use
+    the configured b, not the hardcoded 0.75."""
+    from bm25_index_tool_spark import build as B
+    from bm25_index_tool_spark import corpus as C
+    from bm25_index_tool_spark.cli import main
+
+    root = str(tmp_path / "root")
+    save_config(root, GlobalConfig(default_k1=1.9, default_b=0.5,
+                                   default_num_buckets=4))
+    corpus_path = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        C.generate_rows(8, seed=3), C.CORPUS_SCHEMA
+    ).write.parquet(corpus_path)
+
+    assert main(["--root", root, "create", "cfg", "--corpus", corpus_path,
+                 "--k1", "2.0"]) in (0, None)
+    m = B.load_manifest(f"{root}/indices/cfg")
+    assert m.params.k1 == 2.0
+    assert m.params.b == 0.5  # from config.toml, not the 0.75 literal
+
+    assert main(["--root", root, "create", "cfg2", "--corpus", corpus_path,
+                 "--b", "0.6"]) in (0, None)
+    m2 = B.load_manifest(f"{root}/indices/cfg2")
+    assert m2.params.k1 == 1.9 and m2.params.b == 0.6

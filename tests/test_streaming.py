@@ -89,3 +89,55 @@ def test_stream_ingest_merges_and_replays(spark, tmp_path):
     assert [r["path"] for r in got2] == [
         e[1] for e in oracle.search_bm25("zanzibar", top_k=10)
     ]
+
+
+def test_within_batch_dedup_keeps_newest(spark, tmp_path):
+    """ADVICE r02: one micro-batch carrying two rows for the same path
+    (the path present in two dropped files) must apply exactly one row —
+    the newest by source-file modification time — and mint one doc_id."""
+    base = C.generate_rows(20, seed=31)
+    idx_dir = str(tmp_path / "idx")
+    B.build_index(
+        spark,
+        spark.createDataFrame(base, C.CORPUS_SCHEMA),
+        idx_dir,
+        num_buckets=4,
+    )
+
+    newrow_old = ("rz", "dup/conflict.txt", "c1", "txt", "older quokka draft")
+    newrow_new = ("rz", "dup/conflict.txt", "c2", "txt", "newer wombat final")
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write_wave(str(src), "a_old.parquet", [newrow_old])
+    _write_wave(str(src), "b_new.parquet", [newrow_new])
+    # pin mtimes 1h apart so file_modification_time ordering is unambiguous
+    import time as _t
+
+    now = _t.time()
+    os.utime(os.path.join(str(src), "a_old.parquet"), (now - 3600, now - 3600))
+    os.utime(os.path.join(str(src), "b_new.parquet"), (now, now))
+
+    q = stream_index_updates(
+        spark, idx_dir, str(src),
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )  # no maxFilesPerTrigger → both files in ONE micro-batch
+    q.awaitTermination(300)
+    # (numInputRows over-counts: each action inside foreachBatch re-reads
+    # the source — assert only that ONE micro-batch carried the rows)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 1
+
+    m = B.load_manifest(idx_dir)
+    assert m.num_docs == len(base) + 1  # one doc, not two
+
+    index = LoadedIndex.open(spark, idx_dir)
+    docs = index.docs().where("path = 'dup/conflict.txt'").collect()
+    assert len(docs) == 1
+    assert score_query(index, "wombat", 5).collect()  # newest content won
+    assert not score_query(index, "quokka", 5).collect()  # older row dropped
+    # no ghost postings for a phantom second doc_id
+    ghosts = (
+        index.postings().select("doc_id").distinct()
+        .join(index.docs().select("doc_id"), "doc_id", "left_anti")
+    )
+    assert ghosts.count() == 0

@@ -178,3 +178,68 @@ def test_client_semantic_end_to_end(spark, tmp_path):
     assert {r["index_name"] for r in multi} <= {"vec", "vec2"}
     scores = [r["score"] for r in multi]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_embedder_plugin_seam(spark, tmp_path):
+    """VERDICT r02 #7: a second model drops in via config.toml
+    (default_embedder) without touching the chunk/search path; the store
+    records which embedder built it and the query side follows it."""
+    from bm25_index_tool_spark import corpus as C
+    from bm25_index_tool_spark.client import BM25SparkClient
+    from bm25_index_tool_spark.config import GlobalConfig, save_config
+
+    sentinel = "magnetized heliotrope confluence"
+    rows = C.generate_rows(25, seed=17) + [
+        ("rx", "docs/sentinel.txt", "c1", "txt", sentinel)
+    ]
+
+    root = str(tmp_path / "root")
+    save_config(
+        root, GlobalConfig(default_num_buckets=4, default_embedder="fake-sha1")
+    )
+    client = BM25SparkClient(spark, root)
+    client.create_index(
+        "v", spark.createDataFrame(rows, C.CORPUS_SCHEMA),
+        build_vector_index=True,
+    )
+    # store metadata records the configured embedder
+    meta = client.info("v")["vector_metadata"]
+    assert meta["embedding_model"] == "fake-sha1"
+
+    # the chunk equal to the query embeds to the identical vector → cosine
+    # exactly 1.0 at the top — works ONLY if the query side used the same
+    # model that built the store
+    res = client.search_semantic("v", sentinel, top_k=3)
+    assert res[0]["path"] == "rx/docs/sentinel.txt"
+    assert abs(res[0]["score"] - 1.0) < 1e-6
+
+    # the two registered models genuinely differ: rebuilding with the
+    # default produces different stored vectors for the same chunk
+    import os
+
+    from bm25_index_tool_spark.vector import EMBEDDERS, embed_query
+
+    v_md5 = embed_query("fake-md5", sentinel)
+    v_sha1 = embed_query("fake-sha1", sentinel)
+    assert v_md5 != v_sha1
+    stored = (
+        spark.read.parquet(os.path.join(client._index_dir("v"), "vector"))
+        .where("path = 'rx/docs/sentinel.txt'")
+        .collect()[0]["embedding"]
+    )
+    assert [round(float(x), 5) for x in stored] == [
+        round(x, 5) for x in v_sha1
+    ]
+
+    # an unregistered name fails loudly at build time
+    import pytest as _pt
+
+    save_config(root, GlobalConfig(default_num_buckets=4,
+                                   default_embedder="nope"))
+    client2 = BM25SparkClient(spark, root)
+    with _pt.raises(ValueError, match="unknown embedder"):
+        client2.create_index(
+            "v2", spark.createDataFrame(rows, C.CORPUS_SCHEMA),
+            build_vector_index=True,
+        )
+    assert "nope" not in EMBEDDERS
