@@ -215,9 +215,17 @@ def main() -> None:
             )
             c0 = _cpu_stat()
             t = time.monotonic()
-            apply_update(spark, idx_dir, cur)
+            apply_update(spark, idx_dir, cur)  # default = LSM append
             timings["incremental_update_1pct"] = round(time.monotonic() - t, 3)
             phase_steal["update"] = _steal_pct(c0, _cpu_stat())
+            # compaction is the deferred half of the append strategy's cost
+            # — measured separately: latency-critical ingest pays only the
+            # append, compaction amortizes in the background
+            from bm25_index_tool_spark.delta_store import compact_index
+
+            t = time.monotonic()
+            compact_index(spark, idx_dir)
+            timings["compaction_after_1pct"] = round(time.monotonic() - t, 3)
 
         if "wand" in phases:
             from bm25_index_tool_spark.blocks import build_blocks

@@ -201,7 +201,11 @@ def build_blocks(
     # corpus grows — incremental updates re-encode ONLY shards containing
     # changed doc_ids (update_blocks); appended docs open new shards.
     shard_span = max((n_docs + num_shards - 1) // num_shards, 1)
+    from bm25_index_tool_spark import delta_store as DS
+
     post = spark.read.parquet(os.path.join(index_dir, B.POSTINGS_DIR))
+    if DS.has_segments(index_dir):  # live view when LSM segments exist
+        post = DS.postings_view(spark, index_dir, post)
     sharded = post.withColumn(
         "shard", ((F.col("doc_id") - 1) / F.lit(shard_span)).cast("int")
     )

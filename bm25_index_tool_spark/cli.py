@@ -30,11 +30,23 @@ def _spark(cpus: str | None = None):
 
 
 def _client(args):
+    from pyspark.sql import SparkSession
+
     from bm25_index_tool_spark.client import BM25SparkClient
 
+    # getOrCreate may hand us a session owned by an embedding process
+    # (tests, a notebook); only stop it on exit if WE created it
+    preexisting = SparkSession.getActiveSession() is not None
     spark = _spark(getattr(args, "cpus", None))
     spark.sparkContext.setLogLevel("ERROR")
-    return BM25SparkClient(spark, args.root)
+    client = BM25SparkClient(spark, args.root)
+    client._cli_owns_spark = not preexisting
+    return client
+
+
+def _stop(client) -> None:
+    if getattr(client, "_cli_owns_spark", True):
+        client.spark.stop()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -88,6 +100,16 @@ def main(argv: list[str] | None = None) -> int:
     u = sub.add_parser("update", help="incremental update from a fresh corpus parquet")
     u.add_argument("name")
     u.add_argument("--corpus", required=True)
+    u.add_argument(
+        "--strategy", default="append", choices=["append", "merge"],
+        help="append = LSM segment (IO ∝ delta; default), "
+        "merge = eager per-partition merge-and-swap",
+    )
+
+    cp = sub.add_parser(
+        "compact", help="fold LSM update segments back into the base index"
+    )
+    cp.add_argument("name")
 
     s = sub.add_parser("stats", help="index statistics")
     s.add_argument("name")
@@ -179,7 +201,7 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 results = client.search_semantic_multi(names, query, args.top)
             print(FMT.format_semantic(results, query))
-            client.spark.stop()
+            _stop(client)
             return 0
         if args.related_to:
             results = client.search_related(names[0], args.related_to, args.top)
@@ -207,7 +229,7 @@ def main(argv: list[str] | None = None) -> int:
         from bm25_index_tool_spark.sources import read_corpus
 
         corpus = read_corpus(client.spark, args.corpus)
-        m = client.update_index(args.name, corpus)
+        m = client.update_index(args.name, corpus, strategy=args.strategy)
         print(f"Updated '{args.name}': now {m.num_docs} docs")
     elif args.cmd == "stats":
         print(json.dumps(client.stats(args.name), indent=2))
@@ -220,6 +242,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "list":
         for info in client.list_indices():
             print(f"{info['name']}: {info['file_count']} docs (created {info['created_at']})")
+    elif args.cmd == "compact":
+        n = client.compact_index(args.name)
+        print(f"Compacted '{args.name}': folded {n} segment(s)")
     elif args.cmd == "delete":
         client.delete_index(args.name)
         print(f"Deleted '{args.name}'")
@@ -231,7 +256,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in rows:
             print(f"{r['timestamp']}  {r['query']!r}  ({r['result_count']} results, {r['elapsed_seconds']:.2f}s)")
-    client.spark.stop()
+    _stop(client)
     return 0
 
 

@@ -134,18 +134,37 @@ class BM25SparkClient:
         return manifest
 
     @traced("client.update_index")
-    def update_index(self, name: str, current: DataFrame) -> B.IndexManifest:
-        """Incremental update (anti-join diff + merge; SURVEY.md §2.3 I3)."""
+    def update_index(
+        self, name: str, current: DataFrame, *, strategy: str = "append"
+    ) -> B.IndexManifest:
+        """Incremental update (anti-join diff; SURVEY.md §2.3 I3).
+        ``strategy="append"`` = LSM segment append (IO ∝ delta; default);
+        ``"merge"`` = eager per-partition merge-and-swap."""
         from bm25_index_tool_spark.incremental import apply_update
 
         self._require(name)
-        manifest = apply_update(self.spark, self._index_dir(name), current)
+        manifest = apply_update(
+            self.spark, self._index_dir(name), current, strategy=strategy
+        )
         reg = self._read_registry()
         reg[name]["file_count"] = manifest.num_docs
         self._write_registry(reg)
         self._open.pop(name, None)
         self.cache.clear()
         return manifest
+
+    def compact_index(self, name: str) -> int:
+        """Fold outstanding LSM update segments into the base tables
+        (delta_store.compact_index); returns the number of segments
+        folded.  No-op when the index has no segments."""
+        from bm25_index_tool_spark.delta_store import compact_index, segment_ids
+
+        self._require(name)
+        n = len(segment_ids(self._index_dir(name)))
+        compact_index(self.spark, self._index_dir(name))
+        self._open.pop(name, None)
+        self.cache.clear()
+        return n
 
     def delete_index(self, name: str) -> None:
         reg = self._read_registry()

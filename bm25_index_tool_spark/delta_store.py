@@ -1,0 +1,552 @@
+"""LSM-style append path for incremental updates (VERDICT r02 #3).
+
+Why: the per-bucket-swap merge path (incremental.apply_update) rewrites
+every bucket/partition a delta term or doc_id lands in.  A *scattered* 1%
+delta (the realistic shape — edits spread across the corpus) touches every
+one of the ~nb term-hash buckets and doc_pt partitions, so its IO converges
+on a full rebuild — the measured 0.79× full-build cost at sf0.1.  No swap
+granularity fixes that; scattered updates need the classic log-structured
+answer instead (Lucene segments + deletes; Delta/Iceberg/Hudi MOR):
+
+* each update appends an immutable **segment** — new postings / termstat
+  adjustments / doc rows — plus a **tombstone** list of replaced doc_ids;
+  base files are never touched (byte-identical, trivially so);
+* modified documents **rotate** to fresh doc_ids: the old id is tombstoned
+  everywhere, the new rows live only in the segment — no in-place edit of
+  any base row, and one broadcast anti-join hides every dead row;
+* readers compose the live view:
+    postings  = (base ∪ segments) ⟕anti tombstones
+    docs      = (base ∪ segments) ⟕anti tombstones
+    termstats = Σ df over (base ∪ df-adjustment segments), df > 0
+  Bucket/doc_pt partition pruning pushes through the union and the
+  broadcast anti-join, so query plans keep their shape;
+* write IO is ∝ delta: tokenize added∪modified, RE-tokenize the removed
+  docs' old content (delta-sized) to derive the negative df adjustments
+  and removed token counts — never a postings-table scan;
+* read amplification is bounded by **compaction** (`compact_index`): fold
+  segments + tombstones back into fresh base tables (a partitioned write
+  of the live view — the same job shape as a build's write stages, minus
+  tokenization).  `apply_update(strategy="append")` auto-compacts past
+  ``auto_compact_segments`` outstanding segments.
+
+Crash safety: a segment becomes visible via a SINGLE ``os.replace`` of its
+staged directory per table; a journal written after staging and removed
+after the manifest lets recovery roll the (tiny) commit window forward.
+
+The reference has no analogue — its SQLite layer updates rows in place
+(``storage/sqlite_storage.py`` upserts); this module is the distributed
+re-design of that intent for object-store-backed indexes where files are
+immutable and scattered in-place edits are the enemy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+POSTINGS_SEG_DIR = "postings_seg"
+TERMSTATS_SEG_DIR = "termstats_seg"
+DOCS_SEG_DIR = "docs_seg"
+TOMBSTONES_DIR = "tombstones"
+SEG_JOURNAL = "_segment.journal"
+
+_SEG_DIRS = (POSTINGS_SEG_DIR, TERMSTATS_SEG_DIR, DOCS_SEG_DIR, TOMBSTONES_DIR)
+
+
+def _committed_seg_dirs(index_dir: str, table_dir: str) -> list[str]:
+    """COMMITTED ``seg=N`` dirs of one table — in-flight ``.staging`` dirs
+    are invisible to readers (a segment becomes visible atomically via the
+    final ``os.replace``)."""
+    root = os.path.join(index_dir, table_dir)
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, n)
+        for n in sorted(os.listdir(root))
+        if n.startswith("seg=") and not n.endswith(".staging")
+    ]
+
+
+def has_segments(index_dir: str) -> bool:
+    return any(_committed_seg_dirs(index_dir, d) for d in _SEG_DIRS)
+
+
+def segment_ids(index_dir: str) -> list[int]:
+    """Committed segment ids (from the postings segment dir; every table's
+    segment set is committed together)."""
+    return sorted(
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in _committed_seg_dirs(index_dir, POSTINGS_SEG_DIR)
+    )
+
+
+def _seg_path(index_dir: str, table_dir: str, seg: int) -> str:
+    return os.path.join(index_dir, table_dir, f"seg={seg}")
+
+
+def _read_all_segments(spark: SparkSession, index_dir: str, table_dir: str):
+    """Union of all committed segments of one table (None when empty).
+    Explicit seg-dir paths + basePath keep partition discovery working
+    (``seg``/``bucket``/``doc_pt`` columns) while ignoring staging dirs;
+    the ``seg`` column is dropped — readers never care which segment a row
+    came from."""
+    def _has_parquet(p: str) -> bool:
+        for dp, _d, fs in os.walk(p):
+            if any(f.endswith(".parquet") for f in fs):
+                return True
+        return False
+
+    # a delete-only (or add-only) update commits an EMPTY segment for some
+    # tables — a partitioned write of an empty relation leaves only
+    # _SUCCESS, which is unreadable and contributes nothing; skip those
+    dirs = [
+        d for d in _committed_seg_dirs(index_dir, table_dir) if _has_parquet(d)
+    ]
+    if not dirs:
+        return None
+    root = os.path.join(index_dir, table_dir)
+    df = spark.read.option("basePath", root).parquet(*dirs)
+    return df.drop("seg") if "seg" in df.columns else df
+
+
+def tombstones(spark: SparkSession, index_dir: str):
+    return _read_all_segments(spark, index_dir, TOMBSTONES_DIR)
+
+
+def _anti_tombstones(df: DataFrame, ts) -> DataFrame:
+    if ts is None:
+        return df
+    # tombstone cardinality ∝ deletes since last compaction — broadcast it
+    return df.join(F.broadcast(ts.select("doc_id")), "doc_id", "left_anti")
+
+
+def postings_view(spark: SparkSession, index_dir: str, base: DataFrame) -> DataFrame:
+    seg = _read_all_segments(spark, index_dir, POSTINGS_SEG_DIR)
+    out = base if seg is None else base.unionByName(seg.select(*base.columns))
+    return _anti_tombstones(out, tombstones(spark, index_dir))
+
+
+def docs_view(spark: SparkSession, index_dir: str, base: DataFrame) -> DataFrame:
+    seg = _read_all_segments(spark, index_dir, DOCS_SEG_DIR)
+    out = base if seg is None else base.unionByName(seg.select(*base.columns))
+    return _anti_tombstones(out, tombstones(spark, index_dir))
+
+
+def termstats_view(spark: SparkSession, index_dir: str, base: DataFrame) -> DataFrame:
+    """df per term = base df + Σ segment adjustments; terms whose df drops
+    to 0 disappear (all their docs tombstoned)."""
+    seg = _read_all_segments(spark, index_dir, TERMSTATS_SEG_DIR)
+    if seg is None:
+        return base
+    unioned = base.select("term", "df", "bucket").unionByName(
+        seg.select("term", F.col("df_delta").alias("df"), "bucket")
+    )
+    return (
+        unioned.groupBy("term", "bucket")
+        .agg(F.sum("df").alias("df"))
+        .where(F.col("df") > 0)
+        .select(*base.columns)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Append one update as a segment
+# ---------------------------------------------------------------------------
+
+
+def recover_segments_if_needed(spark: SparkSession, index_dir: str) -> bool:
+    """Roll a crashed segment commit forward: the journal lists the staged
+    dirs and the post-commit manifest; each ``os.replace`` is idempotent
+    (skipped when the final dir already exists)."""
+    from bm25_index_tool_spark import build as B
+
+    jpath = os.path.join(index_dir, SEG_JOURNAL)
+    if not os.path.exists(jpath):
+        for d in _SEG_DIRS:  # pre-journal crash: discard stray staging
+            root = os.path.join(index_dir, d)
+            if os.path.isdir(root):
+                for n in os.listdir(root):
+                    if n.endswith(".staging"):
+                        shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+        for sub in (B.POSTINGS_DIR, B.TERMSTATS_DIR, B.DOCS_DIR):
+            shutil.rmtree(
+                os.path.join(index_dir, sub + ".compact-tmp"),
+                ignore_errors=True,
+            )
+        return False
+    with open(jpath) as f:
+        j = json.load(f)
+
+    if j.get("kind") == "compact":
+        # roll the compaction's directory replaces forward (tmp dirs were
+        # fully written before the journal; a missing tmp means that table
+        # was already swapped), then drop every segment dir — the new bases
+        # contain all segment rows
+        for tmp, live in j["moves"]:
+            if os.path.isdir(tmp):
+                shutil.rmtree(live, ignore_errors=True)
+                os.replace(tmp, live)
+        for d in _SEG_DIRS:
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+        os.remove(jpath)
+        return True
+
+    for staged, final in j["moves"]:
+        if os.path.isdir(staged) and not os.path.isdir(final):
+            os.replace(staged, final)
+        elif os.path.isdir(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+    with open(os.path.join(index_dir, B.MANIFEST), "w") as f:
+        f.write(j["manifest_json"])
+    if j.get("blocks_stale") and os.path.exists(
+        os.path.join(index_dir, B.BLOCKS_DIR)
+    ):
+        from bm25_index_tool_spark.blocks import build_blocks
+
+        build_blocks(spark, index_dir)
+    os.remove(jpath)
+    return True
+
+
+def _tokenize_rows(spark, rows: DataFrame, profile: str) -> DataFrame:
+    """(doc_id, full_path, filename, content) → (doc_id, term, tf, dl) with
+    the index's tokenizer profile — identical pipeline to the build."""
+    from bm25_index_tool_spark import build as B
+    from bm25_index_tool_spark.arrow_tokenize import ARROW_PROFILES
+
+    parallelism = spark.sparkContext.defaultParallelism
+    repart = rows.repartition(parallelism, "doc_id")
+    if profile in ARROW_PROFILES:
+        from bm25_index_tool_spark.arrow_tokenize import doc_term_freqs
+
+        return doc_term_freqs(repart, B._fts_document(), profile=profile)
+    from pyspark.sql.window import Window
+
+    from bm25_index_tool_spark.tokenize import tokenizer_for
+
+    tok = tokenizer_for(profile)
+    return (
+        repart.select("doc_id", F.explode(tok(B._fts_document())).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("int")
+        )
+    )
+
+
+def apply_update_append(
+    spark: SparkSession,
+    index_dir: str,
+    current: DataFrame,
+    *,
+    mode: str = "full",
+    auto_compact_segments: int | None = 16,
+) -> "object":
+    """Append-strategy incremental update; returns the new IndexManifest.
+
+    One narrow single-pass diff (full outer join on full_path over
+    (full_path, md5) projections — content never enters the diff shuffle),
+    delta-only tokenization, and a segment commit whose write volume is
+    ∝ |added| + |modified| + |deleted|.  See module docstring.
+    """
+    from pyspark import StorageLevel
+
+    from bm25_index_tool_spark import build as B
+    from bm25_index_tool_spark import incremental as I
+
+    recover_segments_if_needed(spark, index_dir)
+    I.recover_if_needed(spark, index_dir)
+    manifest = B.load_manifest(index_dir)
+    nb = manifest.num_buckets
+
+    docs_base = spark.read.parquet(os.path.join(index_dir, B.DOCS_DIR))
+    docs = docs_view(spark, index_dir, docs_base)
+
+    # ---- single-pass NARROW diff ------------------------------------------
+    cur = current.withColumn(
+        "full_path", F.concat_ws("/", "repo", "path")
+    ).withColumn("content_md5", F.md5("content"))
+    stored = docs.select(
+        "full_path", F.col("content_md5").alias("_s"), "doc_id"
+    )
+    diff = (
+        cur.select("full_path", "content_md5")
+        .join(stored, "full_path", "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("_s").isNull(), F.lit("added"))
+            .when(F.col("content_md5").isNull(), F.lit("deleted"))
+            .when(F.col("content_md5") != F.col("_s"), F.lit("modified"))
+            .otherwise(F.lit("same")),
+        )
+        .where(F.col("status") != "same")
+        .select("full_path", "status", "doc_id")
+    )
+    if mode == "upsert":
+        diff = diff.where(F.col("status") != "deleted")
+    elif mode != "full":
+        raise ValueError(f"unknown update mode {mode!r} (full|upsert)")
+    diff = diff.localCheckpoint(eager=True)
+
+    counts = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    counts = {k: counts.get(k, 0) for k in ("added", "modified", "deleted")}
+    if all(v == 0 for v in counts.values()):
+        return manifest
+
+    dup = (
+        diff.where(F.col("status").isin("added", "modified"))
+        .groupBy("full_path")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate full_path in update corpus: {dup[0]['full_path']!r}"
+            " — dedupe the input to one row per path before apply_update"
+        )
+
+    removed_ids = (
+        diff.where(F.col("status").isin("deleted", "modified"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- delta docs: added ∪ modified ALL get fresh ids (rotation) ---------
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    delta_src = cur.join(
+        diff.where(F.col("status").isin("added", "modified"))
+        .select("full_path"),
+        "full_path",
+        "left_semi",
+    ).select(*I._CORPUS_COLS)
+    delta_full = (
+        B.with_derived_columns(
+            B.assign_doc_ids(delta_src)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(max_id))
+            .select("doc_id", *I._CORPUS_COLS)
+        )
+        .drop("_dirname", "_natint")
+        .localCheckpoint(eager=True)
+    )
+
+    # second dup guard (delta-sized): a path appearing twice in `current`
+    # with one copy unchanged slips past the diff-level check — both copies
+    # land in delta_src via the semi-join and would mint two doc_ids
+    dup2 = (
+        delta_full.groupBy("full_path")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup2:
+        raise ValueError(
+            f"duplicate full_path in update corpus: {dup2[0]['full_path']!r}"
+            " — dedupe the input to one row per path before apply_update"
+        )
+
+    delta_post = (
+        _tokenize_rows(spark, delta_full, manifest.tokenizer_profile)
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(nb)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    delta_tokens = int(
+        delta_post.agg(F.coalesce(F.sum("tf"), F.lit(0))).collect()[0][0]
+    )
+
+    # ---- removed docs: re-tokenize OLD content (delta-sized) ---------------
+    # gives (a) negative df adjustments per term, (b) removed token count —
+    # no postings scan anywhere in this function
+    removed_docs = docs.join(
+        F.broadcast(removed_ids), "doc_id", "left_semi"
+    ).select("doc_id", "full_path", "filename", "content")
+    removed_tfs = _tokenize_rows(
+        spark, removed_docs, manifest.tokenizer_profile
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    removed_tokens = int(
+        removed_tfs.agg(F.coalesce(F.sum("tf"), F.lit(0))).collect()[0][0]
+    )
+
+    df_adjust = (
+        delta_post.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df_delta"))
+        .unionByName(
+            removed_tfs.groupBy("term").agg(
+                (-F.count("*")).cast("long").alias("df_delta")
+            )
+        )
+        .groupBy("term")
+        .agg(F.sum("df_delta").alias("df_delta"))
+        .where(F.col("df_delta") != 0)
+        .withColumn("bucket", F.pmod(F.hash("term"), F.lit(nb)))
+    )
+
+    # ---- STAGE the segment -------------------------------------------------
+    seg = (max(segment_ids(index_dir)) + 1) if segment_ids(index_dir) else 1
+    moves: list[tuple[str, str]] = []
+
+    def _stage(df: DataFrame, table_dir: str, part_col: str | None) -> None:
+        final = _seg_path(index_dir, table_dir, seg)
+        staged = final + ".staging"
+        os.makedirs(os.path.join(index_dir, table_dir), exist_ok=True)
+        if part_col:
+            n = df.select(part_col).distinct().count()
+            df2 = (
+                df.repartition(max(n, 1), part_col).sortWithinPartitions(
+                    "term", "doc_id"
+                )
+                if table_dir == POSTINGS_SEG_DIR
+                else df.repartition(max(n, 1), part_col)
+            )
+            w = df2.write.mode("overwrite").partitionBy(part_col)
+        else:
+            # tombstones: tiny id list — few files, not one per partition
+            w = df.coalesce(4).write.mode("overwrite")
+        w.parquet(staged)
+        moves.append((staged, final))
+
+    _stage(delta_post.select("term", "doc_id", "tf", "dl", "bucket"),
+           POSTINGS_SEG_DIR, "bucket")
+    _stage(df_adjust.select("term", "df_delta", "bucket"),
+           TERMSTATS_SEG_DIR, "bucket")
+    delta_docs = B.docs_derived_columns(delta_full).withColumn(
+        "doc_pt", F.pmod(F.col("doc_id"), F.lit(nb))
+    )
+    _stage(delta_docs.select(*docs_base.columns), DOCS_SEG_DIR, "doc_pt")
+    _stage(removed_ids, TOMBSTONES_DIR, None)
+
+    new_num_docs = manifest.num_docs - counts["deleted"] + counts["added"]
+    new_total = manifest.total_tokens - removed_tokens + delta_tokens
+    new_manifest = B.IndexManifest(
+        name=manifest.name,
+        num_docs=new_num_docs,
+        avgdl=(new_total / new_num_docs) if new_num_docs else 0.0,
+        num_buckets=nb,
+        tokenizer_profile=manifest.tokenizer_profile,
+        params=manifest.params,
+        created_at=manifest.created_at,
+        source=manifest.source,
+        total_tokens=new_total,
+    )
+
+    # ---- JOURNAL + COMMIT (one rename per table) ---------------------------
+    jpath = os.path.join(index_dir, SEG_JOURNAL)
+    journal = {
+        "seg": seg,
+        "moves": moves,
+        "manifest_json": new_manifest.to_json(),
+        "blocks_stale": os.path.exists(os.path.join(index_dir, B.BLOCKS_DIR)),
+    }
+    with open(jpath + ".tmp", "w") as f:
+        json.dump(journal, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(jpath + ".tmp", jpath)
+
+    for staged, final in moves:
+        os.replace(staged, final)
+    with open(os.path.join(index_dir, B.MANIFEST), "w") as f:
+        f.write(new_manifest.to_json())
+
+    if os.path.exists(os.path.join(index_dir, B.BLOCKS_DIR)):
+        from bm25_index_tool_spark.blocks import update_blocks
+
+        update_blocks(
+            spark, index_dir,
+            delta_post.select("term", "doc_id", "tf", "dl"), removed_ids,
+        )
+    delta_post.unpersist()
+    removed_tfs.unpersist()
+    os.remove(jpath)
+
+    if (
+        auto_compact_segments is not None
+        and len(segment_ids(index_dir)) >= auto_compact_segments
+    ):
+        compact_index(spark, index_dir)
+    return new_manifest
+
+
+# ---------------------------------------------------------------------------
+# Compaction: fold segments + tombstones into fresh base tables
+# ---------------------------------------------------------------------------
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> None:
+    """Materialize the live views as new base tables and drop the segment
+    dirs — the same partitioned-write job shapes as the full build's write
+    stages, minus tokenization.  Bounded-frequency background work that
+    restores zero read amplification; crash-safe via incremental.py's
+    journal machinery (whole-directory staging + replace)."""
+    from bm25_index_tool_spark import build as B
+
+    recover_segments_if_needed(spark, index_dir)
+    if not has_segments(index_dir):
+        return
+    nb = B.load_manifest(index_dir).num_buckets
+    postings_path = os.path.join(index_dir, B.POSTINGS_DIR)
+    termstats_path = os.path.join(index_dir, B.TERMSTATS_DIR)
+    docs_path = os.path.join(index_dir, B.DOCS_DIR)
+
+    post = postings_view(spark, index_dir, spark.read.parquet(postings_path))
+    ts = termstats_view(spark, index_dir, spark.read.parquet(termstats_path))
+    docs = docs_view(spark, index_dir, spark.read.parquet(docs_path))
+    if "doc_pt" not in docs.columns:  # pre-doc_pt legacy base
+        docs = docs.withColumn("doc_pt", F.pmod(F.col("doc_id"), F.lit(nb)))
+
+    tmp_post = postings_path + ".compact-tmp"
+    tmp_ts = termstats_path + ".compact-tmp"
+    tmp_docs = docs_path + ".compact-tmp"
+    (
+        post.repartition(nb, "bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp_post)
+    )
+    (
+        ts.repartition(nb, "bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp_ts)
+    )
+    (
+        docs.repartition(nb, "doc_pt")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("doc_pt")
+        .parquet(tmp_docs)
+    )
+    # JOURNAL then commit: every tmp dir is complete before the journal
+    # exists, so recovery can always roll FORWARD (replace any table whose
+    # tmp still exists, then drop all segment dirs).  Without the journal a
+    # crash between replaces would leave a compacted base unioned with its
+    # own segments — duplicate rows — which is why the segment dirs are
+    # only removed once every base is swapped.
+    moves = [
+        (tmp_post, postings_path),
+        (tmp_ts, termstats_path),
+        (tmp_docs, docs_path),
+    ]
+    jpath = os.path.join(index_dir, SEG_JOURNAL)
+    with open(jpath + ".tmp", "w") as f:
+        json.dump({"kind": "compact", "moves": moves}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(jpath + ".tmp", jpath)
+    for tmp, live in moves:
+        shutil.rmtree(live, ignore_errors=True)
+        os.replace(tmp, live)
+    for d in _SEG_DIRS:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    os.remove(jpath)

@@ -253,6 +253,7 @@ def apply_update(
     *,
     num_buckets: int | None = None,
     mode: str = "full",
+    strategy: str = "append",
 ) -> "object":
     """True incremental update; returns the new IndexManifest.
 
@@ -263,10 +264,28 @@ def apply_update(
     it are deletions (the reference's update-vs-stored diff).
     ``mode="upsert"``: ``current`` is a partial delta (a streaming
     micro-batch) — only adds/modifies, never deletes.
+
+    ``strategy="append"`` (default): LSM segment append — write IO ∝ delta
+    even for scattered edits; read views merge base + segments; auto-
+    compaction bounds read amplification (delta_store.py, VERDICT r02 #3).
+    ``strategy="merge"``: eager per-bucket/partition merge-and-swap — zero
+    read amplification, but scattered deltas rewrite most partitions; the
+    right choice when the delta is bucket-local or as an explicit compat
+    path.  Segments, if any, are compacted first so the merge sees one
+    base.
     """
     from pyspark import StorageLevel
 
     from bm25_index_tool_spark import build as B
+    from bm25_index_tool_spark import delta_store as DS
+
+    if strategy == "append":
+        return DS.apply_update_append(spark, index_dir, current, mode=mode)
+    if strategy != "merge":
+        raise ValueError(f"unknown strategy {strategy!r} (append|merge)")
+    DS.recover_segments_if_needed(spark, index_dir)
+    if DS.has_segments(index_dir):
+        DS.compact_index(spark, index_dir)
 
     recover_if_needed(spark, index_dir)
     manifest = B.load_manifest(index_dir)

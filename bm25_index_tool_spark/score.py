@@ -53,11 +53,26 @@ class LoadedIndex:
         return cls(index_dir=index_dir, manifest=B.load_manifest(index_dir), spark=spark)
 
     def _read(self, sub: str) -> DataFrame:
+        """Live view of one index table: the base parquet dir, composed
+        with any LSM segments + tombstones from append-strategy updates
+        (delta_store.py) — bucket/doc_pt pruning pushes through the union
+        and the broadcast anti-join, so downstream plans keep their shape."""
         import os
 
         if self._cached is not None and sub in self._cached:
             return self._cached[sub]
-        return self.spark.read.parquet(os.path.join(self.index_dir, sub))
+        base = self.spark.read.parquet(os.path.join(self.index_dir, sub))
+        from bm25_index_tool_spark import delta_store as DS
+
+        if not DS.has_segments(self.index_dir):
+            return base
+        if sub == B.DOCS_DIR:
+            return DS.docs_view(self.spark, self.index_dir, base)
+        if sub == B.POSTINGS_DIR:
+            return DS.postings_view(self.spark, self.index_dir, base)
+        if sub == B.TERMSTATS_DIR:
+            return DS.termstats_view(self.spark, self.index_dir, base)
+        return base
 
     def docs(self) -> DataFrame:
         return self._read(B.DOCS_DIR)
@@ -95,9 +110,7 @@ class LoadedIndex:
             [B.DOCS_DIR] if include_docs else []
         )
         for sub in subs:
-            import os
-
-            df = self.spark.read.parquet(os.path.join(self.index_dir, sub)).cache()
+            df = self._read(sub).cache()  # live view (incl. segments)
             df.count()  # materialize
             self._cached[sub] = df
         return self

@@ -293,6 +293,10 @@ def build_vector_index(
     from bm25_index_tool_spark import build as B
 
     docs = spark.read.parquet(os.path.join(index_dir, B.DOCS_DIR))
+    from bm25_index_tool_spark import delta_store as DS
+
+    if DS.has_segments(index_dir):  # live view when LSM segments exist
+        docs = DS.docs_view(spark, index_dir, docs)
     chunks = chunk_documents(
         docs.select(F.col("full_path").alias("path"), "content"),
         id_cols=["path"],

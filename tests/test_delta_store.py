@@ -1,0 +1,249 @@
+"""LSM append-strategy incremental updates (delta_store.py, VERDICT r02 #3).
+
+Invariants under test:
+* append update is query-identical to the FTS5 oracle on the new corpus
+  (same gate as the merge path), while leaving EVERY base parquet file
+  byte-identical — write IO ∝ delta even for scattered edits;
+* termstats view: df adjustments apply, terms whose df hits 0 vanish;
+* compaction folds segments + tombstones into fresh bases with identical
+  query results, and auto-compaction triggers past the segment bound;
+* crash between segment journal and the directory renames rolls forward.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import pytest
+
+from bm25_index_tool_spark import build as B
+from bm25_index_tool_spark import corpus as C
+from bm25_index_tool_spark import delta_store as DS
+from bm25_index_tool_spark.client import BM25SparkClient
+from tests.oracle import FTS5Oracle
+
+N0 = 50
+
+
+def _base_rows():
+    return C.generate_rows(N0, seed=55)
+
+
+def _delta_rows():
+    rows = _base_rows()
+    out = []
+    for i, r in enumerate(rows):
+        if i < 3:  # deleted
+            continue
+        if 5 <= i < 9:  # modified (scattered edits)
+            out.append((r[0], r[1], r[2], r[3], r[4] + " appended xylograph"))
+        else:
+            out.append(r)
+    out.extend(C.generate_rows(N0 + 4, seed=55)[N0:])  # 4 added
+    return out
+
+
+def _tree_hashes(root):
+    out = {}
+    for dp, _d, fs in os.walk(root):
+        for fn in fs:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dp, fn)
+                with open(p, "rb") as f:
+                    out[os.path.relpath(p, root)] = hashlib.sha256(
+                        f.read()
+                    ).hexdigest()
+    return out
+
+
+def _assert_oracle_identical(client, name, cur_rows, queries):
+    oracle = FTS5Oracle()
+    oracle.add_documents(C.ordered_rows(cur_rows))
+    for q in queries:
+        got = client.search(name, q, top_k=10, use_cache=False)
+        exp = oracle.search_bm25(q, top_k=10)
+        assert [r["path"] for r in got] == [e[1] for e in exp], q
+        for g, e in zip(got, exp):
+            assert math.isclose(g["score"], e[4], rel_tol=1e-9), q
+
+
+QUERIES = ["xylograph", "apple", "data value", "the"]
+
+
+def test_append_update_oracle_identical_and_base_untouched(spark, tmp_path):
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "a", spark.createDataFrame(_base_rows(), C.CORPUS_SCHEMA), num_buckets=8
+    )
+    idx_dir = client._index_dir("a")
+    before = {
+        sub: _tree_hashes(os.path.join(idx_dir, sub))
+        for sub in (B.POSTINGS_DIR, B.TERMSTATS_DIR, B.DOCS_DIR)
+    }
+
+    m = client.update_index(
+        "a", spark.createDataFrame(_delta_rows(), C.CORPUS_SCHEMA)
+    )  # default strategy = append
+    assert DS.has_segments(idx_dir) and DS.segment_ids(idx_dir) == [1]
+    assert m.num_docs == len(_delta_rows())
+
+    # EVERY base parquet file byte-identical — the whole point of append
+    for sub, exp in before.items():
+        assert _tree_hashes(os.path.join(idx_dir, sub)) == exp, sub
+
+    _assert_oracle_identical(client, "a", _delta_rows(), QUERIES)
+
+    # manifest totals exact (vs live view)
+    idx = client._require("a")
+    total = (
+        idx.postings().groupBy("doc_id").max("dl").toPandas()["max(dl)"].sum()
+    )
+    assert m.total_tokens == int(total)
+
+    # termstats view ≡ df recomputed from live postings (incl. vanishing
+    # terms of fully-deleted docs)
+    from pyspark.sql import functions as F
+
+    recomputed = (
+        idx.postings().groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    )
+    ts = idx.termstats().select("term", "df")
+    assert ts.exceptAll(recomputed).count() == 0
+    assert recomputed.exceptAll(ts).count() == 0
+
+
+def test_second_append_then_compact(spark, tmp_path):
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "a", spark.createDataFrame(_base_rows(), C.CORPUS_SCHEMA), num_buckets=8
+    )
+    idx_dir = client._index_dir("a")
+    wave1 = _delta_rows()
+    client.update_index("a", spark.createDataFrame(wave1, C.CORPUS_SCHEMA))
+    # wave 2: edit two wave-1 docs again + drop one
+    wave2 = [
+        (r[0], r[1], r[2], r[3], r[4] + " twice quintuple")
+        if i in (0, 1)
+        else r
+        for i, r in enumerate(wave1)
+    ][:-1]
+    client.update_index("a", spark.createDataFrame(wave2, C.CORPUS_SCHEMA))
+    assert DS.segment_ids(idx_dir) == [1, 2]
+    _assert_oracle_identical(client, "a", wave2, QUERIES + ["quintuple"])
+    m_before = B.load_manifest(idx_dir)
+
+    n = client.compact_index("a")
+    assert n == 2
+    assert not DS.has_segments(idx_dir)
+    for d in DS._SEG_DIRS:
+        assert not os.path.isdir(os.path.join(idx_dir, d))
+    m_after = B.load_manifest(idx_dir)
+    assert (m_after.num_docs, m_after.total_tokens) == (
+        m_before.num_docs, m_before.total_tokens,
+    )
+    _assert_oracle_identical(client, "a", wave2, QUERIES + ["quintuple"])
+    # idempotent
+    assert client.compact_index("a") == 0
+
+
+def test_auto_compaction_bound(spark, tmp_path):
+    from bm25_index_tool_spark import incremental as I
+
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    rows = _base_rows()
+    client.create_index(
+        "a", spark.createDataFrame(rows, C.CORPUS_SCHEMA), num_buckets=4
+    )
+    idx_dir = client._index_dir("a")
+    cur = list(rows)
+    for i in range(3):
+        cur = [
+            (r[0], r[1], r[2], r[3], r[4] + f" wave{i}")
+            if j == i
+            else r
+            for j, r in enumerate(cur)
+        ]
+        DS.apply_update_append(
+            spark, idx_dir,
+            spark.createDataFrame(cur, C.CORPUS_SCHEMA),
+            auto_compact_segments=3,
+        )
+    # third append crossed the bound → auto-compacted to zero segments
+    assert not DS.has_segments(idx_dir)
+    client._open.pop("a", None)
+    _assert_oracle_identical(client, "a", cur, ["wave0", "wave2", "apple"])
+
+
+def test_append_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash after the segment journal but before any directory rename:
+    recovery publishes the staged segment and the journaled manifest."""
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "a", spark.createDataFrame(_base_rows(), C.CORPUS_SCHEMA), num_buckets=8
+    )
+    idx_dir = client._index_dir("a")
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if src.endswith(".staging"):
+            raise RuntimeError("injected crash at segment publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(DS.os, "replace", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        client.update_index(
+            "a", spark.createDataFrame(_delta_rows(), C.CORPUS_SCHEMA)
+        )
+    monkeypatch.setattr(DS.os, "replace", real_replace)
+
+    assert os.path.exists(os.path.join(idx_dir, DS.SEG_JOURNAL))
+    assert DS.recover_segments_if_needed(spark, idx_dir) is True
+    assert DS.segment_ids(idx_dir) == [1]
+    client._open.pop("a", None)
+    client.cache.clear()
+    _assert_oracle_identical(client, "a", _delta_rows(), QUERIES)
+    m = B.load_manifest(idx_dir)
+    assert m.num_docs == len(_delta_rows())
+
+
+def test_compact_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash after the compact journal mid-replace: recovery finishes the
+    swaps and drops the segments — no duplicate rows survive."""
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "a", spark.createDataFrame(_base_rows(), C.CORPUS_SCHEMA), num_buckets=8
+    )
+    idx_dir = client._index_dir("a")
+    client.update_index(
+        "a", spark.createDataFrame(_delta_rows(), C.CORPUS_SCHEMA)
+    )
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def boom(src, dst):
+        if src.endswith(".compact-tmp"):
+            calls["n"] += 1
+            if calls["n"] > 1:  # let postings swap, crash on termstats
+                raise RuntimeError("injected crash mid-compaction")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(DS.os, "replace", boom)
+    with pytest.raises(RuntimeError, match="mid-compaction"):
+        client.compact_index("a")
+    monkeypatch.setattr(DS.os, "replace", real_replace)
+
+    assert DS.recover_segments_if_needed(spark, idx_dir) is True
+    assert not DS.has_segments(idx_dir)
+    client._open.pop("a", None)
+    client.cache.clear()
+    _assert_oracle_identical(client, "a", _delta_rows(), QUERIES)
+    # no duplicates: one postings row-set per (term, doc)
+    idx = client._require("a")
+    dups = (
+        idx.postings().groupBy("term", "doc_id").count().where("count > 1")
+    )
+    assert dups.count() == 0

@@ -142,7 +142,8 @@ def test_incremental_touches_only_changed_buckets(spark, tmp_path):
     AT.doc_term_freqs = spy
     try:
         m = I.apply_update(
-            spark, idx_dir, spark.createDataFrame(cur, C.CORPUS_SCHEMA)
+            spark, idx_dir, spark.createDataFrame(cur, C.CORPUS_SCHEMA),
+            strategy="merge",  # this test pins the merge path's invariants
         )
     finally:
         AT.doc_term_freqs = real

@@ -124,7 +124,7 @@ def test_crash_windows_roll_forward(spark, tmp_path, monkeypatch, crash_at):
         restore = lambda: monkeypatch.setattr(BL, "update_blocks", real_upd)
 
     with pytest.raises(_Boom):
-        client.update_index("r", cur)
+        client.update_index("r", cur, strategy="merge")
     restore()
 
     jpath = os.path.join(idx_dir, I.JOURNAL)
@@ -189,7 +189,8 @@ def test_crash_before_journal_leaves_index_untouched(
     monkeypatch.setattr(I.os, "replace", boom_replace)
     with pytest.raises(_Boom):
         client.update_index(
-            "r", spark.createDataFrame(_delta_rows(), C.CORPUS_SCHEMA)
+            "r", spark.createDataFrame(_delta_rows(), C.CORPUS_SCHEMA),
+            strategy="merge",
         )
     monkeypatch.setattr(I.os, "replace", real_replace)
 
@@ -201,7 +202,8 @@ def test_crash_before_journal_leaves_index_untouched(
 
     # and the update still applies cleanly afterwards
     client.update_index(
-        "r", spark.createDataFrame(_delta_rows(), C.CORPUS_SCHEMA)
+        "r", spark.createDataFrame(_delta_rows(), C.CORPUS_SCHEMA),
+        strategy="merge",
     )
     _assert_converged(spark, client, "r", _delta_rows())
 

@@ -84,10 +84,151 @@ def main() -> None:
             "PartitionFilters: [bucket" in bplan and " IN (" in bplan
         ),
         "query-terms and termstats sides broadcast": "BroadcastHashJoin" in bplan,
+        "winners→docs join broadcast too (3 broadcast joins total: qterms, "
+        "stats, top-k winners — VERDICT r02 #5)": (
+            bplan.count("BroadcastHashJoin") >= 3
+        ),
         "per-query rank via window (no per-query jobs)": "Window" in bplan
         or "RunningWindowFunction" in bplan,
         "no cartesian/nested-loop join anywhere": "CartesianProduct" not in bplan
         and "BroadcastNestedLoopJoin" not in bplan,
+    }
+
+    # ---- ANN probe plans: partition pruning on the materialized index ----
+    # (VERDICT r02 #8): the SRP probe must read only its n_tables
+    # (table,bucket) partitions, the IVF probe only its nprobe cells.
+    from bm25_index_tool_spark.pipeline import simsearch as SS
+
+    emb_dim = 8
+    emb_rows = [
+        (i, [float(((i * 7 + j * 3) % 13) - 6) for j in range(emb_dim)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    ann_path = os.path.join(idx_dir, "ann_probe_audit")
+    SS.write_ann_index(
+        emb, ann_path, n_bits=6, n_tables=3, seed=7, dim=emb_dim
+    )
+    qv = [float(x) for x in emb_rows[5][1]]
+    aq = SS.ann_search(spark, ann_path, qv, 10, n_bits=6, n_tables=3, seed=7)
+    aq.collect()
+    abuf = io.StringIO()
+    with redirect_stdout(abuf):
+        aq.explain("formatted")
+    aplan = abuf.getvalue()
+
+    ivf_path = os.path.join(idx_dir, "ivf_probe_audit")
+    cents = SS.write_ivf_index(emb, ivf_path, m=8)
+    iq = SS.ivf_index_search(spark, ivf_path, cents, qv, 10, nprobe=2)
+    iq.collect()
+    ibuf = io.StringIO()
+    with redirect_stdout(ibuf):
+        iq.explain("formatted")
+    iplan = ibuf.getvalue()
+
+    ann_checks = {
+        "SRP probe prunes to (table,bucket) partitions "
+        "(PartitionFilters over table/bucket)": (
+            "PartitionFilters" in aplan
+            and "table" in aplan
+            and "bucket" in aplan
+        ),
+        "SRP probe plan has no full-index shuffle join": (
+            "CartesianProduct" not in aplan
+            and "BroadcastNestedLoopJoin" not in aplan
+        ),
+        "IVF probe prunes to nprobe cell partitions "
+        "(PartitionFilters cell IN ...)": (
+            "PartitionFilters" in iplan and "cell" in iplan
+        ),
+        "IVF top-k is TakeOrderedAndProject": "TakeOrderedAndProject" in iplan,
+    }
+
+    # ---- dedup hot paths (VERDICT r02 #9): banded minhash + jaccard ------
+    from bm25_index_tool_spark.pipeline import dedup as DD
+
+    sf_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mh = DD.minhash_lsh_pairs(sf_docs, "doc_id", "text")
+    mh.collect()
+    mbuf = io.StringIO()
+    with redirect_stdout(mbuf):
+        mh.explain("formatted")
+    mplan = mbuf.getvalue()
+    jc = DD.ngram_jaccard_pairs(sf_docs, "doc_id", "text")
+    jc.collect()
+    jbuf = io.StringIO()
+    with redirect_stdout(jbuf):
+        jc.explain("formatted")
+    jplan = jbuf.getvalue()
+    dedup_checks = {
+        "minhash pair-gen has no cartesian/nested-loop join": (
+            "CartesianProduct" not in mplan
+            and "BroadcastNestedLoopJoin" not in mplan
+        ),
+        "minhash bucket join is a keyed equi-join "
+        "(SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin)": (
+            "SortMergeJoin" in mplan
+            or "ShuffledHashJoin" in mplan
+            or "BroadcastHashJoin" in mplan
+        ),
+        "jaccard pair-gen has no cartesian/nested-loop join": (
+            "CartesianProduct" not in jplan
+            and "BroadcastNestedLoopJoin" not in jplan
+        ),
+        "jaccard shingle self-join is a keyed equi-join": (
+            "SortMergeJoin" in jplan
+            or "ShuffledHashJoin" in jplan
+            or "BroadcastHashJoin" in jplan
+        ),
+    }
+
+    # ---- LSM live-view plan: pruning must push through segments ----------
+    # (delta_store.py): after an append update, the postings view is
+    # (base ∪ segments) ⟕anti broadcast(tombstones) — the query's bucket IN
+    # predicate must reach BOTH parquet scans, and the anti-join must be a
+    # broadcast, not a shuffle.
+    from bm25_index_tool_spark.client import BM25SparkClient
+
+    lsm_root = os.path.join(idx_dir, "lsm_audit_root")
+    lsm_client = BM25SparkClient(spark, lsm_root)
+    lsm_rows = C.generate_rows(80, seed=3)
+    lsm_client.create_index(
+        "lsm", spark.createDataFrame(lsm_rows, C.CORPUS_SCHEMA), num_buckets=8
+    )
+    lsm_cur = [
+        (r[0], r[1], r[2], r[3], r[4] + " lsmedit") if i % 9 == 0 else r
+        for i, r in enumerate(lsm_rows)
+    ]
+    lsm_client.update_index(
+        "lsm", spark.createDataFrame(lsm_cur, C.CORPUS_SCHEMA)
+    )  # append strategy → segments + tombstones
+    lsm_idx = lsm_client._require("lsm")
+    lq = score_query(lsm_idx, "kubernetes networking", 10, include_content=False)
+    lq.collect()
+    lbuf = io.StringIO()
+    with redirect_stdout(lbuf):
+        lq.explain("formatted")
+    lplan = lbuf.getvalue()
+    lsm_checks = {
+        "bucket pruning reaches BOTH base and segment scans "
+        "(≥2 parquet scans with bucket PartitionFilters)": (
+            sum(
+                1
+                for ln in lplan.splitlines()
+                if "PartitionFilters" in ln and "bucket" in ln
+            )
+            >= 2
+        ),
+        "tombstone anti-join is broadcast (BroadcastHashJoin ... LeftAnti)": (
+            "LeftAnti" in lplan and "BroadcastHashJoin" in lplan
+        ),
+        "no cartesian/nested-loop join in the view": (
+            "CartesianProduct" not in lplan
+            and "BroadcastNestedLoopJoin" not in lplan
+        ),
+        "top-k still TakeOrderedAndProject through the view": (
+            "TakeOrderedAndProject" in lplan
+        ),
     }
 
     lines = [
@@ -115,7 +256,36 @@ def main() -> None:
     for name, passed in batch_checks.items():
         lines.append(f"| {name} | {'✅' if passed else '❌'} |")
         ok = ok and passed
-    checks = {**checks, **batch_checks}
+    for title, cks in (
+        ("ANN probes (materialized SRP + IVF indexes)", ann_checks),
+        ("Dedup hot paths (banded MinHash + n-gram Jaccard, sf0.001)", dedup_checks),
+        ("LSM live view (post-append-update scorer plan)", lsm_checks),
+    ):
+        lines += ["", f"## {title}", "", "| property | present |", "|---|---|"]
+        for name, passed in cks.items():
+            lines.append(f"| {name} | {'✅' if passed else '❌'} |")
+            ok = ok and passed
+    checks = {**checks, **batch_checks, **ann_checks, **dedup_checks, **lsm_checks}
+    lines += [
+        "",
+        "## ANN SRP probe `explain(\"formatted\")`",
+        "",
+        "```",
+        aplan.strip(),
+        "```",
+        "",
+        "## ANN IVF probe `explain(\"formatted\")`",
+        "",
+        "```",
+        iplan.strip(),
+        "```",
+        "",
+        "## LSM live-view scorer `explain(\"formatted\")`",
+        "",
+        "```",
+        lplan.strip(),
+        "```",
+    ]
     lines += [
         "",
         "## Batch scorer `explain(\"formatted\")`",
