@@ -218,6 +218,10 @@ def main() -> None:
             apply_update(spark, idx_dir, cur)  # default = LSM append
             timings["incremental_update_1pct"] = round(time.monotonic() - t, 3)
             phase_steal["update"] = _steal_pct(c0, _cpu_stat())
+            from bm25_index_tool_spark.delta_store import LAST_UPDATE_TIMINGS
+
+            for k, v in LAST_UPDATE_TIMINGS.items():
+                timings[f"update_{k}_sec"] = v
             # compaction is the deferred half of the append strategy's cost
             # — measured separately: latency-critical ingest pays only the
             # append, compaction amortizes in the background

@@ -55,6 +55,11 @@ SEG_JOURNAL = "_segment.journal"
 
 _SEG_DIRS = (POSTINGS_SEG_DIR, TERMSTATS_SEG_DIR, DOCS_SEG_DIR, TOMBSTONES_DIR)
 
+# per-section wall times of the most recent apply_update_append on this
+# driver — bench.py copies them out (update_diff_sec etc.) so the fixed-
+# floor breakdown of the update cost is measurable, not guessed
+LAST_UPDATE_TIMINGS: dict[str, float] = {}
+
 
 def _committed_seg_dirs(index_dir: str, table_dir: str) -> list[str]:
     """COMMITTED ``seg=N`` dirs of one table — in-flight ``.staging`` dirs
@@ -258,6 +263,19 @@ def apply_update_append(
     from bm25_index_tool_spark import build as B
     from bm25_index_tool_spark import incremental as I
 
+    import time as _time
+
+    LAST_UPDATE_TIMINGS.clear()
+    _t0 = _time.monotonic()
+
+    def _mark(section: str) -> None:
+        nonlocal _t0
+        now = _time.monotonic()
+        LAST_UPDATE_TIMINGS[section] = round(
+            LAST_UPDATE_TIMINGS.get(section, 0.0) + (now - _t0), 3
+        )
+        _t0 = now
+
     recover_segments_if_needed(spark, index_dir)
     I.recover_if_needed(spark, index_dir)
     manifest = B.load_manifest(index_dir)
@@ -319,24 +337,28 @@ def apply_update_append(
         .select("doc_id")
         .localCheckpoint(eager=True)
     )
+    _mark("diff")
 
     # ---- delta docs: added ∪ modified ALL get fresh ids (rotation) ---------
     max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
-    delta_src = cur.join(
-        diff.where(F.col("status").isin("added", "modified"))
-        .select("full_path"),
-        "full_path",
-        "left_semi",
-    ).select(*I._CORPUS_COLS)
-    delta_full = (
-        B.with_derived_columns(
-            B.assign_doc_ids(delta_src)
-            .withColumn("doc_id", F.col("doc_id") + F.lit(max_id))
-            .select("doc_id", *I._CORPUS_COLS)
+    # checkpoint the delta rows FIRST (one corpus scan; delta-sized output)
+    # so id assignment + tokenize + docs staging never re-scan the corpus
+    delta_src = (
+        cur.join(
+            diff.where(F.col("status").isin("added", "modified"))
+            .select("full_path"),
+            "full_path",
+            "left_semi",
         )
-        .drop("_dirname", "_natint")
+        .select(*I._CORPUS_COLS)
         .localCheckpoint(eager=True)
     )
+    delta_full = B.with_derived_columns(
+        B.assign_doc_ids(delta_src)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(max_id))
+        .select("doc_id", *I._CORPUS_COLS)
+    ).drop("_dirname", "_natint")
+    _mark("delta_extract")
 
     # second dup guard (delta-sized): a path appearing twice in `current`
     # with one copy unchanged slips past the diff-level check — both copies
@@ -376,6 +398,7 @@ def apply_update_append(
         removed_tfs.agg(F.coalesce(F.sum("tf"), F.lit(0))).collect()[0][0]
     )
 
+    _mark("tokenize")
     df_adjust = (
         delta_post.groupBy("term")
         .agg(F.count("*").cast("long").alias("df_delta"))
@@ -399,13 +422,14 @@ def apply_update_append(
         staged = final + ".staging"
         os.makedirs(os.path.join(index_dir, table_dir), exist_ok=True)
         if part_col:
-            n = df.select(part_col).distinct().count()
+            # nb output slots (one per possible partition value) — no extra
+            # distinct-count job; empty slots write nothing
             df2 = (
-                df.repartition(max(n, 1), part_col).sortWithinPartitions(
+                df.repartition(nb, part_col).sortWithinPartitions(
                     "term", "doc_id"
                 )
                 if table_dir == POSTINGS_SEG_DIR
-                else df.repartition(max(n, 1), part_col)
+                else df.repartition(nb, part_col)
             )
             w = df2.write.mode("overwrite").partitionBy(part_col)
         else:
@@ -423,6 +447,7 @@ def apply_update_append(
     )
     _stage(delta_docs.select(*docs_base.columns), DOCS_SEG_DIR, "doc_pt")
     _stage(removed_ids, TOMBSTONES_DIR, None)
+    _mark("stage_writes")
 
     new_num_docs = manifest.num_docs - counts["deleted"] + counts["added"]
     new_total = manifest.total_tokens - removed_tokens + delta_tokens
@@ -467,6 +492,7 @@ def apply_update_append(
     delta_post.unpersist()
     removed_tfs.unpersist()
     os.remove(jpath)
+    _mark("commit")
 
     if (
         auto_compact_segments is not None
