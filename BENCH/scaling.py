@@ -145,8 +145,14 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    def best(cpus: int, key: str) -> dict:
-        return min(runs[cpus], key=lambda r: r["queries"][key])
+    def best(cpus: int, key: str):
+        """Best accumulated run for a level/metric — None when no run at
+        this level recorded the metric yet (fresh file, partial
+        SCALING_LEVELS, or a phase-restricted invocation): the pair is
+        skipped in the report instead of crashing, and the samples still
+        persist via all_runs."""
+        cands = [r for r in runs[cpus] if key in r.get("queries", {})]
+        return min(cands, key=lambda r: r["queries"][key]) if cands else None
 
     def tput(r: dict, key: str) -> float:
         if key == "index_build":
@@ -161,6 +167,8 @@ def main() -> None:
             ("batch_queries", "batch query suite", "suites/sec"),
         ]:
             lo, hi = best(lo_c, key), best(hi_c, key)
+            if lo is None or hi is None:
+                continue  # level not sampled yet — skip, don't crash
             tl, th = tput(lo, key), tput(hi, key)
             metrics[key] = {
                 "label": f"{label} ({unit})",
@@ -174,7 +182,7 @@ def main() -> None:
     results = {
         "timestamp": t0,
         "protocol": (
-            f"same job, same input ({runs[levels[0]][0]['n_files_built']} files, "
+            f"same job, same input ({next((v[0]['n_files_built'] for v in runs.values() if v), 0)} files, "
             f"{PARTITIONS} partitions); levels {levels}; best of {ROUNDS} "
             "interleaved load-gated rounds, accumulated across invocations "
             "(shared host)"
@@ -249,28 +257,48 @@ def main() -> None:
         "| phase | " + " | ".join(f"local[{c}]" for c in levels) + " |",
         "|---" * (len(levels) + 1) + "|",
     ]
-    phase_keys = list(best(levels[0], "index_build")["queries"])
+    sampled = [c for c in levels if best(c, "index_build") is not None]
+    phase_keys = (
+        list(best(sampled[0], "index_build")["queries"]) if sampled else []
+    )
     for k in phase_keys:
         md.append(
             "| " + k + " | "
-            + " | ".join(str(best(c, "index_build")["queries"].get(k, "-")) for c in levels)
+            + " | ".join(
+                str(
+                    (best(c, "index_build") or {"queries": {}})["queries"].get(
+                        k, "-"
+                    )
+                )
+                for c in levels
+            )
             + " |"
         )
-    md += [
-        "",
-        "## Reference comparison",
-        "",
-        f"- Reference single-node build throughput claim: ~2,070 files/s (BASELINE.md).",
-        f"  Ours: **{round(tput(best8, 'index_build'), 1)} files/s at local[8]**, "
-        f"{round(tput(best32, 'index_build'), 1)} files/s at local[32], on "
-        f"{best8['n_files_built']} files including postings/doclens/termstats/manifest",
-        "  and per-stage lineage checkpoints.",
-        "- Reference warm query latency ~5 ms on 2,176 docs (in-process SQLite);",
-        f"  ours p50 {best32['queries'].get('query_p50', '-')} s on {best8['n_files_built']}",
-        "  docs — single-query latency is Spark job-launch bound; the set-at-a-time",
-        f"  batch plan amortizes it (8 queries in {best32['queries']['batch_queries']} s).",
-        "",
-    ]
+    if best8 is not None and best32 is not None:
+        md += [
+            "",
+            "## Reference comparison",
+            "",
+            f"- Reference single-node build throughput claim: ~2,070 files/s (BASELINE.md).",
+            f"  Ours: **{round(tput(best8, 'index_build'), 1)} files/s at local[8]**, "
+            f"{round(tput(best32, 'index_build'), 1)} files/s at local[32], on "
+            f"{best8['n_files_built']} files including postings/doclens/termstats/manifest",
+            "  and per-stage lineage checkpoints.",
+            "- Reference warm query latency ~5 ms on 2,176 docs (in-process SQLite);",
+            f"  ours p50 {best32['queries'].get('query_p50', '-')} s on {best8['n_files_built']}",
+            "  docs — single-query latency is Spark job-launch bound; the set-at-a-time",
+            f"  batch plan amortizes it (8 queries in {best32['queries'].get('batch_queries', '-')} s).",
+            "",
+        ]
+    else:
+        md += ["", "(local[8]/local[32] not yet sampled on this engine "
+               "revision — reference comparison pending accumulation)", ""]
+    # hand-maintained analyses (e.g. the incremental-update study) live in
+    # BASELINE_APPENDIX.md so regeneration never clobbers them
+    appendix = os.path.join(REPO, "BENCH", "BASELINE_APPENDIX.md")
+    if os.path.exists(appendix):
+        with open(appendix) as f:
+            md.append(f.read())
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(md))
     print(json.dumps(pair_metrics, indent=2))

@@ -309,14 +309,15 @@ MIME_FALLBACK = "text/plain"  # text corpus: reference core/indexer.py:86
 
 
 def mime_from_path(path_col) -> F.Column:
-    """MIME type from the path's extension — pure Column expression (one
-    lower+regexp_extract and a hash-map lookup via chained CASE; JVM-side,
-    whole-stage codegen)."""
+    """MIME type from the path's extension — pure Column expression: ONE
+    lower+regexp_extract per row and a literal-map GetMapValue lookup.
+    (A chained CASE would inline the regexp into every branch condition —
+    27 regex evaluations per row, measured as +30% on the docs stage.)"""
     ext = F.lower(F.regexp_extract(path_col, r"\.([A-Za-z0-9]+)$", 1))
-    expr = F.lit(MIME_FALLBACK)
-    for e, m in reversed(list(MIME_BY_EXT.items())):
-        expr = F.when(ext == e, F.lit(m)).otherwise(expr)
-    return expr
+    mapping = F.create_map(
+        *[F.lit(x) for pair in MIME_BY_EXT.items() for x in pair]
+    )
+    return F.coalesce(mapping[ext], F.lit(MIME_FALLBACK))
 
 
 def mime_case_sql(path_sql: str) -> str:

@@ -130,6 +130,12 @@ def main(argv: list[str] | None = None) -> int:
     comp = sub.add_parser("completion", help="emit a shell completion script")
     comp.add_argument("shell", choices=["bash", "zsh", "fish"])
 
+    sub.add_parser(
+        "embedders",
+        help="list registered embedding models (reference list-models "
+        "analogue; register more via vector.register_embedder)",
+    )
+
     args = p.parse_args(argv)
 
     # telemetry lifecycle mirrors the reference cli.py:88-92: flag OR env
@@ -144,11 +150,29 @@ def main(argv: list[str] | None = None) -> int:
     svc.initialize(tcfg)
     atexit.register(svc.shutdown)
 
-    # completion needs no Spark session — handle before client startup
+    # completion/embedders need no Spark session — handle before client
+    # startup
     if args.cmd == "completion":
         from bm25_index_tool_spark.completion import generate
 
         print(generate(args.shell))
+        return 0
+    if args.cmd == "embedders":
+        # reference `list-models` lists the provider's embedding models
+        # (commands/list_models.py, AWS Bedrock); here the model registry
+        # is the in-process embedder plug-in table
+        from bm25_index_tool_spark.config import load_config
+        from bm25_index_tool_spark.vector import DEFAULT_EMBEDDER, EMBEDDERS
+
+        cfg_default = load_config(args.root).default_embedder
+        for name in sorted(EMBEDDERS):
+            tags = []
+            if name == cfg_default:
+                tags.append("config default")
+            if name == DEFAULT_EMBEDDER:
+                tags.append("built-in default")
+            suffix = f"  ({', '.join(tags)})" if tags else ""
+            print(f"{name}{suffix}")
         return 0
 
     import json

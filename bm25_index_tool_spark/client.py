@@ -153,6 +153,12 @@ class BM25SparkClient:
         self.cache.clear()
         return manifest
 
+    @staticmethod
+    def _segment_count(idx_dir: str) -> int:
+        from bm25_index_tool_spark.delta_store import segment_ids
+
+        return len(segment_ids(idx_dir))
+
     def compact_index(self, name: str) -> int:
         """Fold outstanding LSM update segments into the base tables
         (delta_store.compact_index); returns the number of segments
@@ -236,6 +242,9 @@ class BM25SparkClient:
             "avgdl": m.avgdl,
             "num_buckets": m.num_buckets,
             "index_version": m.index_version,
+            # outstanding LSM update segments awaiting compaction (0 = fully
+            # compacted base; see delta_store.py)
+            "update_segments": self._segment_count(idx_dir),
             "bm25_params": dict(m.params.__dict__),
             "tokenization": {
                 "profile": m.tokenizer_profile,

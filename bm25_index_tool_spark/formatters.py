@@ -110,6 +110,8 @@ def format_info(meta: dict[str, Any]) -> str:
         f"Created: {meta['created_at']}",
         f"Files: {meta['file_count']:,}",
         f"Buckets: {meta['num_buckets']}  (index v{meta['index_version']})",
+        f"Update segments: {meta.get('update_segments', 0)}"
+        + ("  (run `compact` to fold)" if meta.get("update_segments") else ""),
         "",
         "BM25 Parameters:",
         f"  k1: {p['k1']}",
