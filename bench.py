@@ -231,6 +231,18 @@ def main() -> None:
             compact_index(spark, idx_dir)
             timings["compaction_after_1pct"] = round(time.monotonic() - t, 3)
 
+            # streaming-shaped upsert: a ~100-file micro-batch through the
+            # same path foreachBatch uses (mode=upsert, append strategy) —
+            # the latency a continuous-ingest trigger pays
+            k = max(n_files // 100, 1)
+            batch = corpus.where(F.crc32(F.col("path")) % k == 1).withColumn(
+                "content",
+                F.concat_ws(" ", F.col("content"), F.lit("microbatch tick")),
+            )
+            t = time.monotonic()
+            apply_update(spark, idx_dir, batch, mode="upsert")
+            timings["upsert_microbatch_100"] = round(time.monotonic() - t, 3)
+
         if "wand" in phases:
             from bm25_index_tool_spark.blocks import build_blocks
             from bm25_index_tool_spark.wand import wand_search
