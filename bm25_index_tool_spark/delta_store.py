@@ -51,9 +51,21 @@ POSTINGS_SEG_DIR = "postings_seg"
 TERMSTATS_SEG_DIR = "termstats_seg"
 DOCS_SEG_DIR = "docs_seg"
 TOMBSTONES_DIR = "tombstones"
+# vector-store deltas (chunk re-embeds of changed docs; path-keyed
+# tombstones) ride the same segment/journal machinery — vector.py owns the
+# content, this module owns the layout + commit protocol
+VECTOR_SEG_DIR = "vector_seg"
+VECTOR_TS_DIR = "vector_tombstones"
 SEG_JOURNAL = "_segment.journal"
 
-_SEG_DIRS = (POSTINGS_SEG_DIR, TERMSTATS_SEG_DIR, DOCS_SEG_DIR, TOMBSTONES_DIR)
+_SEG_DIRS = (
+    POSTINGS_SEG_DIR,
+    TERMSTATS_SEG_DIR,
+    DOCS_SEG_DIR,
+    TOMBSTONES_DIR,
+    VECTOR_SEG_DIR,
+    VECTOR_TS_DIR,
+)
 
 # per-section wall times of the most recent apply_update_append on this
 # driver — bench.py copies them out (update_diff_sec etc.) so the fixed-
@@ -80,19 +92,22 @@ def has_segments(index_dir: str) -> bool:
 
 
 def segment_ids(index_dir: str) -> list[int]:
-    """Committed segment ids (from the postings segment dir; every table's
-    segment set is committed together)."""
-    return sorted(
-        int(os.path.basename(p).split("=", 1)[1])
-        for p in _committed_seg_dirs(index_dir, POSTINGS_SEG_DIR)
-    )
+    """Committed segment ids across every segment table (an id may appear
+    in only some tables — e.g. a vector-only refresh)."""
+    ids: set[int] = set()
+    for d in _SEG_DIRS:
+        for p in _committed_seg_dirs(index_dir, d):
+            ids.add(int(os.path.basename(p).split("=", 1)[1]))
+    return sorted(ids)
 
 
 def _seg_path(index_dir: str, table_dir: str, seg: int) -> str:
     return os.path.join(index_dir, table_dir, f"seg={seg}")
 
 
-def _read_all_segments(spark: SparkSession, index_dir: str, table_dir: str):
+def _read_all_segments(
+    spark: SparkSession, index_dir: str, table_dir: str, keep_seg: bool = False
+):
     """Union of all committed segments of one table (None when empty).
     Explicit seg-dir paths + basePath keep partition discovery working
     (``seg``/``bucket``/``doc_pt`` columns) while ignoring staging dirs;
@@ -114,6 +129,8 @@ def _read_all_segments(spark: SparkSession, index_dir: str, table_dir: str):
         return None
     root = os.path.join(index_dir, table_dir)
     df = spark.read.option("basePath", root).parquet(*dirs)
+    if keep_seg:
+        return df
     return df.drop("seg") if "seg" in df.columns else df
 
 
@@ -447,6 +464,19 @@ def apply_update_append(
     )
     _stage(delta_docs.select(*docs_base.columns), DOCS_SEG_DIR, "doc_pt")
     _stage(removed_ids, TOMBSTONES_DIR, None)
+
+    # vector store, when present, refreshes in the SAME transaction: chunks
+    # of deleted∪modified docs tombstone out, added∪modified docs re-embed
+    # (the reference's incremental vector update, commands/update.py:292+)
+    if os.path.isdir(os.path.join(index_dir, "vector")):
+        from bm25_index_tool_spark.vector import stage_vector_refresh
+
+        removed_paths = diff.where(
+            F.col("status").isin("deleted", "modified")
+        ).select(F.col("full_path").alias("path"))
+        stage_vector_refresh(
+            spark, index_dir, delta_full, removed_paths, seg, moves
+        )
     _mark("stage_writes")
 
     new_num_docs = manifest.num_docs - counts["deleted"] + counts["added"]
@@ -507,6 +537,43 @@ def apply_update_append(
 # ---------------------------------------------------------------------------
 
 
+def commit_vector_refresh(
+    spark: SparkSession,
+    index_dir: str,
+    delta_docs: DataFrame,
+    removed_paths: DataFrame,
+    manifest_json: str,
+) -> None:
+    """Standalone vector-store refresh transaction (used by the merge
+    strategy, whose bucket-swap journal doesn't carry segment moves):
+    stage → journal → rename-commit, same recovery semantics."""
+    if not os.path.isdir(os.path.join(index_dir, "vector")):
+        return
+    from bm25_index_tool_spark.vector import stage_vector_refresh
+
+    ids = segment_ids(index_dir)
+    seg = (max(ids) + 1) if ids else 1
+    moves: list = []
+    stage_vector_refresh(spark, index_dir, delta_docs, removed_paths, seg, moves)
+    jpath = os.path.join(index_dir, SEG_JOURNAL)
+    with open(jpath + ".tmp", "w") as f:
+        json.dump(
+            {
+                "seg": seg,
+                "moves": moves,
+                "manifest_json": manifest_json,
+                "blocks_stale": False,
+            },
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(jpath + ".tmp", jpath)
+    for staged, final in moves:
+        os.replace(staged, final)
+    os.remove(jpath)
+
+
 def compact_index(spark: SparkSession, index_dir: str) -> None:
     """Materialize the live views as new base tables and drop the segment
     dirs — the same partitioned-write job shapes as the full build's write
@@ -564,6 +631,21 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
         (tmp_ts, termstats_path),
         (tmp_docs, docs_path),
     ]
+
+    # vector store: fold refresh segments + path tombstones the same way
+    vec_path = os.path.join(index_dir, "vector")
+    if os.path.isdir(vec_path) and (
+        _committed_seg_dirs(index_dir, VECTOR_SEG_DIR)
+        or _committed_seg_dirs(index_dir, VECTOR_TS_DIR)
+    ):
+        from bm25_index_tool_spark.vector import vector_view
+
+        tmp_vec = vec_path + ".compact-tmp"
+        vector_view(spark, index_dir).write.mode("overwrite").parquet(tmp_vec)
+        meta_src = os.path.join(vec_path, "_meta.json")
+        if os.path.exists(meta_src):  # sidecar rides along with the swap
+            shutil.copyfile(meta_src, os.path.join(tmp_vec, "_meta.json"))
+        moves.append((tmp_vec, vec_path))
     jpath = os.path.join(index_dir, SEG_JOURNAL)
     with open(jpath + ".tmp", "w") as f:
         json.dump({"kind": "compact", "moves": moves}, f)

@@ -337,6 +337,16 @@ def apply_update(
         .localCheckpoint(eager=True)  # sever lineage from the files we swap
     )
     rem = F.broadcast(removed_ids)
+    # captured BEFORE the swaps for the vector refresh below — the lazy
+    # changes.* plans would otherwise re-diff against the post-swap docs
+    removed_paths = (
+        changes.deleted.select("full_path")
+        .unionByName(changes.modified.select("full_path"))
+        .select(F.col("full_path").alias("path"))
+        .localCheckpoint(eager=True)
+        if os.path.isdir(os.path.join(index_dir, "vector"))
+        else None
+    )
 
     # ---- delta docs (the ONLY rows that get tokenized) ---------------------
     max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
@@ -570,4 +580,16 @@ def apply_update(
         )
     delta_post.unpersist()
     os.remove(jpath)
+
+    # vector store refresh (reference commands/update.py:276+): chunks of
+    # deleted∪modified docs drop, added∪modified re-embed — its own small
+    # stage→journal→commit since the bucket-swap journal above carries no
+    # segment moves
+    if removed_paths is not None:
+        from bm25_index_tool_spark.delta_store import commit_vector_refresh
+
+        commit_vector_refresh(
+            spark, index_dir, delta_full, removed_paths,
+            new_manifest.to_json(),
+        )
     return new_manifest

@@ -316,10 +316,119 @@ def build_vector_index(
         .write.mode("overwrite")
         .parquet(out_path)
     )
-    meta = {"embedder": embedder, "dim": dim, "n_chunks": obs.get["n_chunks"]}
+    meta = {
+        "embedder": embedder,
+        "dim": dim,
+        "n_chunks": obs.get["n_chunks"],
+        # chunking params persist so incremental refreshes chunk changed
+        # docs EXACTLY like the build did (reference stores chunk_size/
+        # chunk_overlap in vector metadata, commands/update.py:284-287)
+        "chunk_size": chunk_size,
+        "chunk_overlap": chunk_overlap,
+        "max_chars": max_chars,
+    }
     with open(os.path.join(out_path, "_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def _load_vector_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    meta_path = os.path.join(index_dir, VECTOR_DIR, "_meta.json")
+    meta = {
+        "embedder": DEFAULT_EMBEDDER,
+        "dim": FAKE_EMBED_DIM,
+        "chunk_size": DEFAULT_CHUNK_SIZE,
+        "chunk_overlap": DEFAULT_CHUNK_OVERLAP,
+        "max_chars": 48_000,
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta.update(json.load(f))
+    return meta
+
+
+def vector_view(spark, index_dir: str) -> DataFrame:
+    """Live chunk-vector table — the vector-store twin of delta_store's
+    views, but path-keyed with SEGMENT ORDERING: a refresh of path P in
+    segment N tombstones P at seg N, and P's chunks from segment N itself
+    must survive, so a row is alive iff its segment ≥ the path's latest
+    tombstone segment (base rows carry seg 0 → any tombstone kills them;
+    an earlier refresh's chunks die to a later one's tombstone; a deleted
+    doc has a tombstone and no newer chunks)."""
+    import os
+
+    from bm25_index_tool_spark import delta_store as DS
+
+    base = spark.read.parquet(os.path.join(index_dir, VECTOR_DIR))
+    cols = base.columns
+    seg = DS._read_all_segments(
+        spark, index_dir, DS.VECTOR_SEG_DIR, keep_seg=True
+    )
+    out = base.withColumn("_seg", F.lit(0))
+    if seg is not None:
+        out = out.unionByName(
+            seg.select(*cols, F.col("seg").cast("int").alias("_seg"))
+        )
+    ts = DS._read_all_segments(spark, index_dir, DS.VECTOR_TS_DIR, keep_seg=True)
+    if ts is not None:
+        latest = ts.groupBy("path").agg(
+            F.max(F.col("seg").cast("int")).alias("_ts_seg")
+        )
+        out = (
+            out.join(F.broadcast(latest), "path", "left")
+            .where(
+                F.col("_ts_seg").isNull() | (F.col("_seg") >= F.col("_ts_seg"))
+            )
+            .drop("_ts_seg")
+        )
+    return out.drop("_seg").select(*cols)
+
+
+def stage_vector_refresh(
+    spark,
+    index_dir: str,
+    delta_docs: DataFrame,
+    removed_paths: DataFrame,
+    seg: int,
+    moves: list,
+) -> None:
+    """Chunk + embed the changed docs with the STORE'S OWN embedder/chunk
+    params and stage the result as segment ``seg`` (committed by the
+    caller's journal alongside the index tables) — the reference's
+    incremental vector update (delete chunks of deleted∪modified docs,
+    re-embed added∪modified; ``commands/update.py:292-320``) re-expressed
+    as an immutable segment + tombstones.
+
+    ``delta_docs``: (full_path, content) of added∪modified docs;
+    ``removed_paths``: (path) of deleted∪modified docs (old identity)."""
+    import os
+
+    from bm25_index_tool_spark import delta_store as DS
+
+    meta = _load_vector_meta(index_dir)
+    chunks = chunk_documents(
+        delta_docs.select(F.col("full_path").alias("path"), "content"),
+        id_cols=["path"],
+        text_col="content",
+        chunk_size=meta["chunk_size"],
+        chunk_overlap=meta["chunk_overlap"],
+        max_chars=meta["max_chars"],
+    )
+    embed = embedder_udf(meta["embedder"], meta["dim"])
+    seg_rows = chunks.withColumn("embedding", embed(F.col("chunk_text")))
+
+    for df, table in (
+        (seg_rows, DS.VECTOR_SEG_DIR),
+        (removed_paths.select("path"), DS.VECTOR_TS_DIR),
+    ):
+        final = DS._seg_path(index_dir, table, seg)
+        staged = final + ".staging"
+        os.makedirs(os.path.join(index_dir, table), exist_ok=True)
+        df.coalesce(8).write.mode("overwrite").parquet(staged)
+        moves.append((staged, final))
 
 
 def semantic_search_index(
@@ -337,13 +446,10 @@ def semantic_search_index(
             f"Vector index not found under {index_dir}; create with "
             "build_vector_index (or create_index(build_vector_index=True))"
         )
-    meta_path = os.path.join(path, "_meta.json")
-    name, meta_dim = DEFAULT_EMBEDDER, FAKE_EMBED_DIM  # pre-meta stores
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        name, meta_dim = meta["embedder"], meta["dim"]
-    qv = embed_query(name, query, dim if dim is not None else meta_dim)
+    meta = _load_vector_meta(index_dir)
+    qv = embed_query(
+        meta["embedder"], query, dim if dim is not None else meta["dim"]
+    )
     return semantic_search_chunks(
-        spark.read.parquet(path), qv, top_k, doc_col="path"
+        vector_view(spark, index_dir), qv, top_k, doc_col="path"
     )

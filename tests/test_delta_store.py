@@ -17,6 +17,7 @@ import math
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from bm25_index_tool_spark import build as B
 from bm25_index_tool_spark import corpus as C
@@ -247,3 +248,55 @@ def test_compact_crash_rolls_forward(spark, tmp_path, monkeypatch):
         idx.postings().groupBy("term", "doc_id").count().where("count > 1")
     )
     assert dups.count() == 0
+
+
+@pytest.mark.parametrize("strategy", ["append", "merge"])
+def test_vector_store_refreshes_on_update(spark, tmp_path, strategy):
+    """Reference commands/update.py:276+: an update must refresh the vector
+    index — chunks of deleted∪modified docs drop, added∪modified re-embed
+    with the store's own embedder/chunk params.  Exact-text queries score
+    1.0 only if the refreshed chunks carry correctly-embedded vectors."""
+    from bm25_index_tool_spark import vector as V
+
+    old_b = "benthic oscillation ledger"       # modified doc, old content
+    new_b = "glowworm cartography almanac"     # modified doc, new content
+    doc_c = "murmuration viaduct pantry"       # added doc
+    doc_d = "tessellated gyre handbook"        # deleted doc
+    base = C.generate_rows(15, seed=91) + [
+        ("rv", "keep/b.txt", "c1", "txt", old_b),
+        ("rv", "drop/d.txt", "c1", "txt", doc_d),
+    ]
+    client = BM25SparkClient(spark, str(tmp_path / f"root_{strategy}"))
+    client.create_index(
+        "v", spark.createDataFrame(base, C.CORPUS_SCHEMA),
+        num_buckets=4, build_vector_index=True,
+    )
+    # pre-update: old contents searchable
+    assert client.search_semantic("v", old_b, top_k=1)[0]["score"] == pytest.approx(1.0)
+
+    cur = [r for r in base if r[1] != "drop/d.txt" and r[1] != "keep/b.txt"]
+    cur += [("rv", "keep/b.txt", "c2", "txt", new_b),
+            ("rv", "new/c.txt", "c1", "txt", doc_c)]
+    client.update_index(
+        "v", spark.createDataFrame(cur, C.CORPUS_SCHEMA), strategy=strategy
+    )
+
+    for q, path in ((new_b, "rv/keep/b.txt"), (doc_c, "rv/new/c.txt")):
+        top = client.search_semantic("v", q, top_k=1)[0]
+        assert top["path"] == path and top["score"] == pytest.approx(1.0), q
+    # replaced/deleted chunks are gone from the live view
+    idx_dir = client._index_dir("v")
+    vv = V.vector_view(spark, idx_dir)
+    assert vv.where(F.col("chunk_text").isin(old_b, doc_d)).count() == 0
+    assert vv.where(vv.path == "rv/drop/d.txt").count() == 0
+
+    # compaction folds the vector segments with identical results
+    client.compact_index("v")
+    assert not os.path.isdir(os.path.join(idx_dir, "vector_seg"))
+    assert not os.path.isdir(os.path.join(idx_dir, "vector_tombstones"))
+    for q, path in ((new_b, "rv/keep/b.txt"), (doc_c, "rv/new/c.txt")):
+        top = client.search_semantic("v", q, top_k=1)[0]
+        assert top["path"] == path and top["score"] == pytest.approx(1.0), q
+    # _meta.json survives the vector-base swap
+    meta = V._load_vector_meta(idx_dir)
+    assert meta["embedder"] == "fake-md5" and meta["dim"] == V.FAKE_EMBED_DIM
