@@ -300,3 +300,31 @@ def test_vector_store_refreshes_on_update(spark, tmp_path, strategy):
     # _meta.json survives the vector-base swap
     meta = V._load_vector_meta(idx_dir)
     assert meta["embedder"] == "fake-md5" and meta["dim"] == V.FAKE_EMBED_DIM
+
+
+def test_repeated_vector_refresh_keeps_only_newest(spark, tmp_path):
+    """Segment ordering: three successive edits of one path leave exactly
+    the newest chunk alive (earlier refresh segments die to later
+    tombstones, not just base chunks)."""
+    from bm25_index_tool_spark import vector as V
+
+    base = C.generate_rows(10, seed=93) + [
+        ("rw", "hot/doc.txt", "c0", "txt", "edition zero aardwolf")
+    ]
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "w", spark.createDataFrame(base, C.CORPUS_SCHEMA),
+        num_buckets=4, build_vector_index=True,
+    )
+    cur = base
+    for i in (1, 2, 3):
+        cur = [r for r in cur if r[1] != "hot/doc.txt"] + [
+            ("rw", "hot/doc.txt", f"c{i}", "txt", f"edition {i} bandicoot")
+        ]
+        client.update_index("w", spark.createDataFrame(cur, C.CORPUS_SCHEMA))
+
+    vv = V.vector_view(spark, client._index_dir("w"))
+    rows = vv.where("path = 'rw/hot/doc.txt'").select("chunk_text").collect()
+    assert [r["chunk_text"] for r in rows] == ["edition 3 bandicoot"]
+    top = client.search_semantic("w", "edition 3 bandicoot", top_k=1)[0]
+    assert top["path"] == "rw/hot/doc.txt" and top["score"] == pytest.approx(1.0)

@@ -141,3 +141,38 @@ def test_within_batch_dedup_keeps_newest(spark, tmp_path):
         .join(index.docs().select("doc_id"), "doc_id", "left_anti")
     )
     assert ghosts.count() == 0
+
+
+def test_stream_ingest_refreshes_vector_store(spark, tmp_path):
+    """Streaming micro-batches flow through the append path, which also
+    refreshes the chunk-vector store — streamed content is semantically
+    searchable without any rebuild."""
+    from bm25_index_tool_spark.client import BM25SparkClient
+
+    base = C.generate_rows(15, seed=37)
+    root = str(tmp_path / "root")
+    client = BM25SparkClient(spark, root)
+    client.create_index(
+        "s", spark.createDataFrame(base, C.CORPUS_SCHEMA),
+        num_buckets=4, build_vector_index=True,
+    )
+    idx_dir = client._index_dir("s")
+
+    streamed = ("rs", "landed/new.txt", "c1", "txt",
+                "peregrine solstice ledger")
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write_wave(str(src), "w.parquet", [streamed])
+    q = stream_index_updates(
+        spark, idx_dir, str(src),
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(300)
+
+    client._open.pop("s", None)
+    top = client.search_semantic("s", "peregrine solstice ledger", top_k=1)[0]
+    assert top["path"] == "rs/landed/new.txt"
+    assert abs(top["score"] - 1.0) < 1e-6
+    # BM25 side sees it too
+    got = client.search("s", "peregrine", top_k=3, use_cache=False)
+    assert got and got[0]["path"] == "rs/landed/new.txt"
