@@ -59,7 +59,7 @@ def main() -> None:
     # quiet window (1-min load < BENCH_LOAD_GATE) up to BENCH_LOAD_WAIT s,
     # then record the load actually seen at start + per-phase steal%.
     load_gate = float(os.environ.get("BENCH_LOAD_GATE", "4.0"))
-    load_wait = float(os.environ.get("BENCH_LOAD_WAIT", "420"))
+    load_wait = float(os.environ.get("BENCH_LOAD_WAIT", "300"))
     gate_deadline = time.monotonic() + load_wait
     gate_waited = 0.0
     while os.getloadavg()[0] >= load_gate and time.monotonic() < gate_deadline:

@@ -254,6 +254,7 @@ def apply_update(
     num_buckets: int | None = None,
     mode: str = "full",
     strategy: str = "append",
+    auto_compact_segments: int | None = 16,
 ) -> "object":
     """True incremental update; returns the new IndexManifest.
 
@@ -280,7 +281,10 @@ def apply_update(
     from bm25_index_tool_spark import delta_store as DS
 
     if strategy == "append":
-        return DS.apply_update_append(spark, index_dir, current, mode=mode)
+        return DS.apply_update_append(
+            spark, index_dir, current, mode=mode,
+            auto_compact_segments=auto_compact_segments,
+        )
     if strategy != "merge":
         raise ValueError(f"unknown strategy {strategy!r} (append|merge)")
     DS.recover_segments_if_needed(spark, index_dir)

@@ -58,6 +58,7 @@ def stream_index_updates(
     available_now: bool = True,
     processing_time: str | None = None,
     max_files_per_trigger: int | None = None,
+    auto_compact_segments: int | None = 16,
 ):
     """Start (and return) a streaming query that merges every corpus
     parquet file appearing under ``source_dir`` into the index at
@@ -95,8 +96,13 @@ def stream_index_updates(
             .drop("_mtime", "_src", "_rn")
         )
         # empty batches are no-ops inside apply_update (empty ChangeSet
-        # short-circuit)
-        apply_update(spark, index_dir, deduped, mode="upsert")
+        # short-circuit).  Every auto_compact_segments micro-batches the
+        # trigger pays one compaction (fold LSM segments) — raise the bound
+        # (or pass None and compact out-of-band) to keep triggers short.
+        apply_update(
+            spark, index_dir, deduped, mode="upsert",
+            auto_compact_segments=auto_compact_segments,
+        )
 
     writer = stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir
