@@ -462,7 +462,12 @@ def apply_update_append(
     delta_docs = B.docs_derived_columns(delta_full).withColumn(
         "doc_pt", F.pmod(F.col("doc_id"), F.lit(nb))
     )
-    _stage(delta_docs.select(*docs_base.columns), DOCS_SEG_DIR, "doc_pt")
+    # legacy pre-doc_pt base: keep the partition column in the segment
+    # anyway (docs_view projects it away when composing with such a base)
+    docs_seg_cols = list(docs_base.columns)
+    if "doc_pt" not in docs_seg_cols:
+        docs_seg_cols.append("doc_pt")
+    _stage(delta_docs.select(*docs_seg_cols), DOCS_SEG_DIR, "doc_pt")
     _stage(removed_ids, TOMBSTONES_DIR, None)
 
     # vector store, when present, refreshes in the SAME transaction: chunks
@@ -620,6 +625,17 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
         .partitionBy("doc_pt")
         .parquet(tmp_docs)
     )
+    # a fully-emptied table writes zero partition dirs → unreadable; leave
+    # a schema'd empty plain parquet instead (same convention as the build)
+    for tmp, df, part_col in (
+        (tmp_post, post, "bucket"),
+        (tmp_ts, ts, "bucket"),
+        (tmp_docs, docs, "doc_pt"),
+    ):
+        if not any(n.startswith(f"{part_col}=") for n in os.listdir(tmp)):
+            spark.createDataFrame([], df.schema).write.mode(
+                "overwrite"
+            ).parquet(tmp)
     # JOURNAL then commit: every tmp dir is complete before the journal
     # exists, so recovery can always roll FORWARD (replace any table whose
     # tmp still exists, then drop all segment dirs).  Without the journal a

@@ -328,3 +328,53 @@ def test_repeated_vector_refresh_keeps_only_newest(spark, tmp_path):
     assert [r["chunk_text"] for r in rows] == ["edition 3 bandicoot"]
     top = client.search_semantic("w", "edition 3 bandicoot", top_k=1)[0]
     assert top["path"] == "rw/hot/doc.txt" and top["score"] == pytest.approx(1.0)
+
+
+def test_append_full_delete_empties_index(spark, tmp_path):
+    """mode=full with an empty current corpus: every doc tombstones out,
+    every term's df adjusts to 0, manifest reaches (0 docs, 0 tokens)."""
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "a", spark.createDataFrame(_base_rows()[:12], C.CORPUS_SCHEMA),
+        num_buckets=4,
+    )
+    empty = spark.createDataFrame([], C.CORPUS_SCHEMA)
+    m = client.update_index("a", empty)
+    assert (m.num_docs, m.total_tokens) == (0, 0)
+    idx = client._require("a")
+    assert idx.postings().count() == 0
+    assert idx.docs().count() == 0
+    assert idx.termstats().count() == 0
+    assert client.search("a", "apple", top_k=5, use_cache=False) == []
+    client.compact_index("a")
+    assert client._require("a").postings().count() == 0
+
+
+def test_append_onto_legacy_flat_docs_table(spark, tmp_path):
+    """An index whose docs table predates doc_pt partitioning (flat
+    parquet) must accept append updates: the segment still carries doc_pt
+    and the view composes on the shared columns."""
+    import shutil
+
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "a", spark.createDataFrame(_base_rows(), C.CORPUS_SCHEMA), num_buckets=4
+    )
+    idx_dir = client._index_dir("a")
+    docs_path = os.path.join(idx_dir, B.DOCS_DIR)
+    flat = spark.read.parquet(docs_path).drop("doc_pt").localCheckpoint(True)
+    shutil.rmtree(docs_path)
+    flat.write.mode("overwrite").parquet(docs_path)
+    client._open.pop("a", None)
+
+    client.update_index(
+        "a", spark.createDataFrame(_delta_rows(), C.CORPUS_SCHEMA)
+    )
+    client._open.pop("a", None)
+    _assert_oracle_identical(client, "a", _delta_rows(), QUERIES)
+    # compaction restores the partitioned layout
+    client.compact_index("a")
+    assert any(
+        n.startswith("doc_pt=") for n in os.listdir(docs_path)
+    )
+    _assert_oracle_identical(client, "a", _delta_rows(), QUERIES)
