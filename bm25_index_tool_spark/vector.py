@@ -435,9 +435,8 @@ def semantic_search_index(
     spark, index_dir: str, query: str, top_k: int = 10, *, dim: int | None = None
 ) -> DataFrame:
     """Client entry: embed the query with the SAME embedder that built the
-    store (``vector/_meta.json``), search the materialized chunk vectors,
-    per-doc dedupe, top-k."""
-    import json
+    store (``vector/_meta.json``), search the live chunk-vector view
+    (base + refresh segments), per-doc dedupe, top-k."""
     import os
 
     path = os.path.join(index_dir, VECTOR_DIR)
