@@ -242,6 +242,30 @@ def main() -> None:
             t = time.monotonic()
             apply_update(spark, idx_dir, batch, mode="upsert")
             timings["upsert_microbatch_100"] = round(time.monotonic() - t, 3)
+            from bm25_index_tool_spark.delta_store import (
+                LAST_UPDATE_TIMINGS as _UT,
+            )
+
+            for k2, v2 in _UT.items():
+                timings[f"upsert_{k2}_sec"] = v2
+            # second tick: the steady-state trigger cost — diffs against the
+            # cached stored-docs projection instead of re-scanning the index
+            batch2 = batch.withColumn(
+                "content",
+                F.concat_ws(" ", F.col("content"), F.lit("tick two")),
+            )
+            t = time.monotonic()
+            apply_update(spark, idx_dir, batch2, mode="upsert")
+            timings["upsert_microbatch_warm"] = round(time.monotonic() - t, 3)
+            for k2, v2 in _UT.items():
+                timings[f"upsert_warm_{k2}_sec"] = v2
+            # tiered merge: fold the two outstanding micro-batch segments
+            # (cost ∝ delta, never O(base) — the steady-state compaction)
+            from bm25_index_tool_spark.delta_store import merge_segments
+
+            t = time.monotonic()
+            merge_segments(spark, idx_dir, upto_seg=1 << 30)
+            timings["tiered_merge_2segs"] = round(time.monotonic() - t, 3)
 
         if "wand" in phases:
             from bm25_index_tool_spark.blocks import build_blocks
@@ -266,11 +290,18 @@ def main() -> None:
 
     # -- flagship surface queries off the raw sf tables ----------------------
     if "surface" in phases:
+        c0 = _cpu_stat()
         for name in ["bm25_topk", "dedup_minhash_pairs", "cosine_topk", "simhash"]:
             fn = surface.queries()[name]
+            cq = _cpu_stat()
             t = time.monotonic()
             fn(spark, sf_dir).collect()
             timings[name] = round(time.monotonic() - t, 3)
+            # per-query steal: attributes any one slow surface row to host
+            # noise vs real work (VERDICT r03 #1 — the 2.35→5.51s bm25_topk
+            # swing was unattributable without this)
+            phase_steal[f"surface_{name}"] = _steal_pct(cq, _cpu_stat())
+        phase_steal["surface"] = _steal_pct(c0, _cpu_stat())
 
     total = round(sum(timings.values()), 3)
     print(

@@ -79,6 +79,14 @@ class IndexManifest:
     # so incremental updates can delta-adjust avgdl without a full scan;
     # -1 in manifests written before this field existed
     total_tokens: int = -1
+    # monotonic doc_id high-water mark: the next id an incremental update
+    # may mint.  Persisted so id rotation NEVER reuses an id that ever
+    # existed — a tombstoned max-id must not be re-minted (the tombstone
+    # anti-join would hide the new doc) and a compaction must not reset the
+    # counter.  -1 in manifests written before this field existed; readers
+    # fall back to max(doc_id) over base ∪ segments BEFORE the tombstone
+    # filter (ADVICE r03).
+    next_doc_id: int = -1
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -677,6 +685,8 @@ def _build(
         created_at=time.strftime("%Y-%m-%dT%H:%M:%S"),
         source=source or {},
         total_tokens=int(m_ts["total_tokens"]),
+        # assign_doc_ids is 1-based contiguous → first free id is N+1
+        next_doc_id=int(num_docs) + 1,
     )
     with open(os.path.join(index_dir, MANIFEST), "w") as f:
         f.write(manifest.to_json())

@@ -179,6 +179,11 @@ class BM25SparkClient:
         del reg[name]
         self._write_registry(reg)
         self._open.pop(name, None)
+        from bm25_index_tool_spark.delta_store import (
+            invalidate_stored_projection,
+        )
+
+        invalidate_stored_projection(self._index_dir(name))
         shutil.rmtree(self._index_dir(name), ignore_errors=True)
         self.cache.clear()
 

@@ -72,6 +72,65 @@ _SEG_DIRS = (
 # floor breakdown of the update cost is measurable, not guessed
 LAST_UPDATE_TIMINGS: dict[str, float] = {}
 
+# ---------------------------------------------------------------------------
+# Stored-docs diff-projection cache (VERDICT r03 #2)
+#
+# Every update's diff needs the narrow (full_path, content_md5, doc_id)
+# projection of the live docs view.  A continuous-ingest trigger pays that
+# base+segments scan once per micro-batch even though between batches the
+# projection changes only by the (tiny) delta.  Cache it per index_dir,
+# persisted on the executors; validity is an os-level token (manifest
+# mtime/size + committed segment ids) so ANY out-of-band writer — another
+# process, a merge update, a compaction — invalidates it for free.  After a
+# commit the cache advances incrementally: (old ⟕anti removed) ∪ delta,
+# localCheckpointed so lineage stays flat across thousands of batches.
+# ---------------------------------------------------------------------------
+_STORED_PROJ_CACHE: dict[str, tuple[tuple, DataFrame]] = {}
+
+
+def _index_state_token(index_dir: str):
+    from bm25_index_tool_spark import build as B
+
+    try:
+        st = os.stat(os.path.join(index_dir, B.MANIFEST))
+    except FileNotFoundError:
+        return None
+    return (st.st_mtime_ns, st.st_size, tuple(segment_ids(index_dir)))
+
+
+def _stored_projection(spark, index_dir: str, docs: DataFrame) -> DataFrame:
+    """Live (full_path, content_md5, doc_id) — cached across updates."""
+    tok = _index_state_token(index_dir)
+    hit = _STORED_PROJ_CACHE.get(index_dir)
+    if hit is not None and hit[0] == tok:
+        return hit[1]
+    proj = docs.select("full_path", "content_md5", "doc_id").localCheckpoint(
+        eager=True
+    )
+    if hit is not None:
+        hit[1].unpersist()
+    _STORED_PROJ_CACHE[index_dir] = (tok, proj)
+    return proj
+
+
+def _advance_stored_projection(
+    index_dir: str, old: DataFrame, removed_ids: DataFrame, delta: DataFrame
+) -> None:
+    """Post-commit cache advance: delta-sized work, no base re-scan."""
+    new = (
+        old.join(F.broadcast(removed_ids.select("doc_id")), "doc_id", "left_anti")
+        .unionByName(delta.select("full_path", "content_md5", "doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    old.unpersist()
+    _STORED_PROJ_CACHE[index_dir] = (_index_state_token(index_dir), new)
+
+
+def invalidate_stored_projection(index_dir: str) -> None:
+    hit = _STORED_PROJ_CACHE.pop(index_dir, None)
+    if hit is not None:
+        hit[1].unpersist()
+
 
 def _committed_seg_dirs(index_dir: str, table_dir: str) -> list[str]:
     """COMMITTED ``seg=N`` dirs of one table — in-flight ``.staging`` dirs
@@ -105,14 +164,22 @@ def _seg_path(index_dir: str, table_dir: str, seg: int) -> str:
     return os.path.join(index_dir, table_dir, f"seg={seg}")
 
 
+def _seg_dir_id(path: str) -> int:
+    return int(os.path.basename(path).split("=", 1)[1])
+
+
 def _read_all_segments(
-    spark: SparkSession, index_dir: str, table_dir: str, keep_seg: bool = False
+    spark: SparkSession,
+    index_dir: str,
+    table_dir: str,
+    keep_seg: bool = False,
+    upto: int | None = None,
 ):
     """Union of all committed segments of one table (None when empty).
     Explicit seg-dir paths + basePath keep partition discovery working
     (``seg``/``bucket``/``doc_pt`` columns) while ignoring staging dirs;
     the ``seg`` column is dropped — readers never care which segment a row
-    came from."""
+    came from.  ``upto`` restricts to segment ids ≤ upto (tiered merge)."""
     def _has_parquet(p: str) -> bool:
         for dp, _d, fs in os.walk(p):
             if any(f.endswith(".parquet") for f in fs):
@@ -125,6 +192,8 @@ def _read_all_segments(
     dirs = [
         d for d in _committed_seg_dirs(index_dir, table_dir) if _has_parquet(d)
     ]
+    if upto is not None:
+        dirs = [d for d in dirs if _seg_dir_id(d) <= upto]
     if not dirs:
         return None
     root = os.path.join(index_dir, table_dir)
@@ -136,6 +205,23 @@ def _read_all_segments(
 
 def tombstones(spark: SparkSession, index_dir: str):
     return _read_all_segments(spark, index_dir, TOMBSTONES_DIR)
+
+
+def max_ever_doc_id(
+    spark: SparkSession, index_dir: str, docs_base: DataFrame
+) -> int:
+    """Highest doc_id that EVER existed: max over base ∪ doc segments
+    BEFORE the tombstone anti-join, so tombstoned (deleted) ids still
+    count.  Legacy fallback for manifests without ``next_doc_id`` —
+    deriving it from the tombstone-filtered live view reused dead ids,
+    whose new rows the anti-join then hid (ADVICE r03, high)."""
+    seg = _read_all_segments(spark, index_dir, DOCS_SEG_DIR)
+    allrows = (
+        docs_base
+        if seg is None
+        else docs_base.select("doc_id").unionByName(seg.select("doc_id"))
+    )
+    return allrows.agg(F.max("doc_id")).collect()[0][0] or 0
 
 
 def _anti_tombstones(df: DataFrame, ts) -> DataFrame:
@@ -184,16 +270,24 @@ def recover_segments_if_needed(spark: SparkSession, index_dir: str) -> bool:
     dirs and the post-commit manifest; each ``os.replace`` is idempotent
     (skipped when the final dir already exists)."""
     from bm25_index_tool_spark import build as B
+    from bm25_index_tool_spark import incremental as I
 
     jpath = os.path.join(index_dir, SEG_JOURNAL)
     if not os.path.exists(jpath):
+        # a pending MERGE-strategy journal may reference staged vector
+        # segment dirs (incremental.apply_update stages them before its own
+        # journal) — leave staging alone until recover_if_needed replays it
+        if os.path.exists(os.path.join(index_dir, I.JOURNAL)):
+            return False
         for d in _SEG_DIRS:  # pre-journal crash: discard stray staging
             root = os.path.join(index_dir, d)
             if os.path.isdir(root):
                 for n in os.listdir(root):
                     if n.endswith(".staging"):
                         shutil.rmtree(os.path.join(root, n), ignore_errors=True)
-        for sub in (B.POSTINGS_DIR, B.TERMSTATS_DIR, B.DOCS_DIR):
+        # include the vector dir: a compaction crash before the journal
+        # otherwise leaks an orphaned vector.compact-tmp (ADVICE r03)
+        for sub in (B.POSTINGS_DIR, B.TERMSTATS_DIR, B.DOCS_DIR, "vector"):
             shutil.rmtree(
                 os.path.join(index_dir, sub + ".compact-tmp"),
                 ignore_errors=True,
@@ -201,6 +295,20 @@ def recover_segments_if_needed(spark: SparkSession, index_dir: str) -> bool:
         return False
     with open(jpath) as f:
         j = json.load(f)
+
+    if j.get("kind") == "seg_merge":
+        # tiered merge: folded seg dirs (ids < merged id) were listed in
+        # "drop"; staged merged dirs replace the id-upto dirs.  Both halves
+        # are idempotent (a missing staged dir means that table's replace
+        # already happened)
+        for d in j["drop"]:
+            shutil.rmtree(d, ignore_errors=True)
+        for tmp, live in j["moves"]:
+            if os.path.isdir(tmp):
+                shutil.rmtree(live, ignore_errors=True)
+                os.replace(tmp, live)
+        os.remove(jpath)
+        return True
 
     if j.get("kind") == "compact":
         # roll the compaction's directory replaces forward (tmp dirs were
@@ -267,8 +375,14 @@ def apply_update_append(
     *,
     mode: str = "full",
     auto_compact_segments: int | None = 16,
+    auto_compact_strategy: str = "full",
 ) -> "object":
     """Append-strategy incremental update; returns the new IndexManifest.
+
+    ``auto_compact_strategy``: past ``auto_compact_segments`` outstanding
+    segments, "full" folds everything into the base (zero read amp, O(base)
+    cost) while "tiered" merges the oldest half into one segment
+    (cost ∝ delta — the steady-state ingest choice, see merge_segments).
 
     One narrow single-pass diff (full outer join on full_path over
     (full_path, md5) projections — content never enters the diff shuffle),
@@ -281,6 +395,10 @@ def apply_update_append(
     from bm25_index_tool_spark import incremental as I
 
     import time as _time
+
+    # journals record staged/final paths verbatim — absolutize so recovery
+    # run from a different working directory still resolves them (ADVICE r03)
+    index_dir = os.path.abspath(index_dir)
 
     LAST_UPDATE_TIMINGS.clear()
     _t0 = _time.monotonic()
@@ -305,7 +423,8 @@ def apply_update_append(
     cur = current.withColumn(
         "full_path", F.concat_ws("/", "repo", "path")
     ).withColumn("content_md5", F.md5("content"))
-    stored = docs.select(
+    stored_proj = _stored_projection(spark, index_dir, docs)
+    stored = stored_proj.select(
         "full_path", F.col("content_md5").alias("_s"), "doc_id"
     )
     diff = (
@@ -335,29 +454,24 @@ def apply_update_append(
     if all(v == 0 for v in counts.values()):
         return manifest
 
-    dup = (
-        diff.where(F.col("status").isin("added", "modified"))
-        .groupBy("full_path")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"duplicate full_path in update corpus: {dup[0]['full_path']!r}"
-            " — dedupe the input to one row per path before apply_update"
-        )
-
-    removed_ids = (
-        diff.where(F.col("status").isin("deleted", "modified"))
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
+    # duplicate-path rejection is handled by the delta-level guard below
+    # (strictly more comprehensive: it also catches a path appearing twice
+    # with one copy unchanged) — no separate diff-level job.
+    # removed_ids derives from the checkpointed diff: tiny, recomputed
+    # locally wherever used — no extra materialization job.
+    removed_ids = diff.where(
+        F.col("status").isin("deleted", "modified")
+    ).select("doc_id")
     _mark("diff")
 
     # ---- delta docs: added ∪ modified ALL get fresh ids (rotation) ---------
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    # ids come from the manifest's monotonic high-water mark, NOT from the
+    # live (tombstone-filtered) view — after deleting the max-id docs the
+    # next update must not re-mint their ids (ADVICE r03, high)
+    if manifest.next_doc_id > 0:
+        max_id = manifest.next_doc_id - 1
+    else:  # legacy manifest: backfill from base ∪ segments pre-anti-join
+        max_id = max_ever_doc_id(spark, index_dir, docs_base)
     # checkpoint the delta rows FIRST (one corpus scan; delta-sized output)
     # so id assignment + tokenize + docs staging never re-scan the corpus
     delta_src = (
@@ -404,27 +518,33 @@ def apply_update_append(
 
     # ---- removed docs: re-tokenize OLD content (delta-sized) ---------------
     # gives (a) negative df adjustments per term, (b) removed token count —
-    # no postings scan anywhere in this function
-    removed_docs = docs.join(
-        F.broadcast(removed_ids), "doc_id", "left_semi"
-    ).select("doc_id", "full_path", "filename", "content")
-    removed_tfs = _tokenize_rows(
-        spark, removed_docs, manifest.tokenizer_profile
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    removed_tokens = int(
-        removed_tfs.agg(F.coalesce(F.sum("tf"), F.lit(0))).collect()[0][0]
+    # no postings scan anywhere in this function.  A pure-add micro-batch
+    # (the common streaming shape) skips both jobs entirely.
+    df_adds = delta_post.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_delta")
     )
-
-    _mark("tokenize")
-    df_adjust = (
-        delta_post.groupBy("term")
-        .agg(F.count("*").cast("long").alias("df_delta"))
-        .unionByName(
+    if counts["modified"] + counts["deleted"] > 0:
+        removed_docs = docs.join(
+            F.broadcast(removed_ids), "doc_id", "left_semi"
+        ).select("doc_id", "full_path", "filename", "content")
+        removed_tfs = _tokenize_rows(
+            spark, removed_docs, manifest.tokenizer_profile
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        removed_tokens = int(
+            removed_tfs.agg(F.coalesce(F.sum("tf"), F.lit(0))).collect()[0][0]
+        )
+        df_adds = df_adds.unionByName(
             removed_tfs.groupBy("term").agg(
                 (-F.count("*")).cast("long").alias("df_delta")
             )
         )
-        .groupBy("term")
+    else:
+        removed_tfs = None
+        removed_tokens = 0
+
+    _mark("tokenize")
+    df_adjust = (
+        df_adds.groupBy("term")
         .agg(F.sum("df_delta").alias("df_delta"))
         .where(F.col("df_delta") != 0)
         .withColumn("bucket", F.pmod(F.hash("term"), F.lit(nb)))
@@ -455,10 +575,6 @@ def apply_update_append(
         w.parquet(staged)
         moves.append((staged, final))
 
-    _stage(delta_post.select("term", "doc_id", "tf", "dl", "bucket"),
-           POSTINGS_SEG_DIR, "bucket")
-    _stage(df_adjust.select("term", "df_delta", "bucket"),
-           TERMSTATS_SEG_DIR, "bucket")
     delta_docs = B.docs_derived_columns(delta_full).withColumn(
         "doc_pt", F.pmod(F.col("doc_id"), F.lit(nb))
     )
@@ -467,8 +583,26 @@ def apply_update_append(
     docs_seg_cols = list(docs_base.columns)
     if "doc_pt" not in docs_seg_cols:
         docs_seg_cols.append("doc_pt")
-    _stage(delta_docs.select(*docs_seg_cols), DOCS_SEG_DIR, "doc_pt")
-    _stage(removed_ids, TOMBSTONES_DIR, None)
+
+    # all four writes read only persisted/checkpointed inputs — run them as
+    # CONCURRENT Spark jobs (one driver thread each) so a small micro-batch
+    # pays one write's scheduling latency, not four in series (VERDICT
+    # r03 #2); a delete-free batch skips the tombstone write entirely
+    stage_jobs = [
+        (delta_post.select("term", "doc_id", "tf", "dl", "bucket"),
+         POSTINGS_SEG_DIR, "bucket"),
+        (df_adjust.select("term", "df_delta", "bucket"),
+         TERMSTATS_SEG_DIR, "bucket"),
+        (delta_docs.select(*docs_seg_cols), DOCS_SEG_DIR, "doc_pt"),
+    ]
+    if counts["modified"] + counts["deleted"] > 0:
+        stage_jobs.append((removed_ids, TOMBSTONES_DIR, None))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(stage_jobs)) as pool:
+        futs = [pool.submit(_stage, *job) for job in stage_jobs]
+        for f in futs:
+            f.result()
 
     # vector store, when present, refreshes in the SAME transaction: chunks
     # of deleted∪modified docs tombstone out, added∪modified docs re-embed
@@ -496,6 +630,8 @@ def apply_update_append(
         created_at=manifest.created_at,
         source=manifest.source,
         total_tokens=new_total,
+        # added ∪ modified minted ids max_id+1 .. max_id+n — advance the HWM
+        next_doc_id=max_id + counts["added"] + counts["modified"] + 1,
     )
 
     # ---- JOURNAL + COMMIT (one rename per table) ---------------------------
@@ -525,15 +661,22 @@ def apply_update_append(
             delta_post.select("term", "doc_id", "tf", "dl"), removed_ids,
         )
     delta_post.unpersist()
-    removed_tfs.unpersist()
+    if removed_tfs is not None:
+        removed_tfs.unpersist()
     os.remove(jpath)
+    # advance the diff-projection cache incrementally — the next micro-batch
+    # diffs against this instead of re-scanning base ∪ segments
+    _advance_stored_projection(index_dir, stored_proj, removed_ids, delta_docs)
     _mark("commit")
 
     if (
         auto_compact_segments is not None
         and len(segment_ids(index_dir)) >= auto_compact_segments
     ):
-        compact_index(spark, index_dir)
+        if auto_compact_strategy == "tiered":
+            merge_segments(spark, index_dir)
+        else:
+            compact_index(spark, index_dir)
     return new_manifest
 
 
@@ -542,41 +685,145 @@ def apply_update_append(
 # ---------------------------------------------------------------------------
 
 
-def commit_vector_refresh(
-    spark: SparkSession,
-    index_dir: str,
-    delta_docs: DataFrame,
-    removed_paths: DataFrame,
-    manifest_json: str,
-) -> None:
-    """Standalone vector-store refresh transaction (used by the merge
-    strategy, whose bucket-swap journal doesn't carry segment moves):
-    stage → journal → rename-commit, same recovery semantics."""
-    if not os.path.isdir(os.path.join(index_dir, "vector")):
-        return
-    from bm25_index_tool_spark.vector import stage_vector_refresh
+def merge_segments(
+    spark: SparkSession, index_dir: str, upto_seg: int | None = None
+) -> int:
+    """Tiered compaction (VERDICT r03 #7): fold every committed segment
+    with id ≤ ``upto_seg`` into ONE merged segment (id = newest folded id)
+    WITHOUT touching the base tables.
 
+    Cost ∝ Σ folded segment sizes — never O(base) — so steady-state ingest
+    keeps read amplification bounded without ever paying the full fold
+    (``compact_index`` rewrites the whole base: ~0.3× a build).  This is
+    the LSM L0→L1 step (Lucene's segment merge): ``compact_index`` remains
+    the full fold for maintenance windows.
+
+    Correctness leans on the monotonic doc_id high-water mark: ids are
+    never reused, so a tombstone with id ≤ upto kills only rows in base or
+    folded segments — rows already physically dropped here — and tombstones
+    for ids BORN in folded segments can be pruned outright.  Tombstones
+    surviving the prune still target base rows; they carry into the merged
+    segment.  Outstanding segments/tombstones with id > upto are untouched
+    and still compose in the live views.
+
+    Default ``upto_seg``: the median id (fold the oldest half).  Returns
+    the number of segment ids folded (0 = nothing to do).  Crash-safe via
+    the same journal machinery (kind="seg_merge": drop list + staged
+    moves, rolled forward idempotently).
+    """
+    from bm25_index_tool_spark import build as B
+
+    index_dir = os.path.abspath(index_dir)
+    recover_segments_if_needed(spark, index_dir)
     ids = segment_ids(index_dir)
-    seg = (max(ids) + 1) if ids else 1
-    moves: list = []
-    stage_vector_refresh(spark, index_dir, delta_docs, removed_paths, seg, moves)
+    if upto_seg is None:
+        if len(ids) < 2:
+            return 0
+        upto_seg = ids[(len(ids) + 1) // 2 - 1]
+    folded = [i for i in ids if i <= upto_seg]
+    if len(folded) < 2:
+        return 0
+    upto = folded[-1]
+    nb = B.load_manifest(index_dir).num_buckets
+
+    ts = _read_all_segments(spark, index_dir, TOMBSTONES_DIR, upto=upto)
+    moves: list[tuple[str, str]] = []
+
+    def _stage(df, table_dir: str, part_col: str | None, sort_cols=()):
+        final = _seg_path(index_dir, table_dir, upto)
+        tmp = final + ".staging"
+        if part_col:
+            df = df.repartition(nb, part_col)
+            if sort_cols:
+                df = df.sortWithinPartitions(*sort_cols)
+            w = df.write.mode("overwrite").partitionBy(part_col)
+        else:
+            w = df.coalesce(4).write.mode("overwrite")
+        w.parquet(tmp)
+        moves.append((tmp, final))
+
+    post = _read_all_segments(spark, index_dir, POSTINGS_SEG_DIR, upto=upto)
+    if post is not None:
+        _stage(
+            _anti_tombstones(post, ts), POSTINGS_SEG_DIR, "bucket",
+            ("term", "doc_id"),
+        )
+    tseg = _read_all_segments(spark, index_dir, TERMSTATS_SEG_DIR, upto=upto)
+    if tseg is not None:
+        _stage(
+            tseg.groupBy("term", "bucket")
+            .agg(F.sum("df_delta").alias("df_delta"))
+            .where(F.col("df_delta") != 0)
+            .select("term", "df_delta", "bucket"),
+            TERMSTATS_SEG_DIR, "bucket",
+        )
+    dseg = _read_all_segments(spark, index_dir, DOCS_SEG_DIR, upto=upto)
+    if dseg is not None:
+        _stage(_anti_tombstones(dseg, ts), DOCS_SEG_DIR, "doc_pt")
+    if ts is not None:
+        keep_ts = ts.select("doc_id")
+        if dseg is not None:
+            # prune tombstones of ids born in the folded segments: their
+            # rows were dropped above and the HWM guarantees no reuse —
+            # only base-targeting tombstones survive the merge
+            keep_ts = keep_ts.join(
+                dseg.select("doc_id"), "doc_id", "left_anti"
+            )
+        _stage(keep_ts, TOMBSTONES_DIR, None)
+
+    # vector store: within the folded group apply the segment-ORDER rule
+    # (row alive iff its seg ≥ the path's latest folded tombstone seg);
+    # survivors and surviving tombstone paths all take seg id `upto`, which
+    # preserves the ordering invariant against segments > upto
+    vseg = _read_all_segments(
+        spark, index_dir, VECTOR_SEG_DIR, keep_seg=True, upto=upto
+    )
+    vts = _read_all_segments(
+        spark, index_dir, VECTOR_TS_DIR, keep_seg=True, upto=upto
+    )
+    if vseg is not None:
+        alive = vseg
+        if vts is not None:
+            latest = vts.groupBy("path").agg(F.max("seg").alias("_ts_seg"))
+            alive = (
+                vseg.join(F.broadcast(latest), "path", "left")
+                .where(
+                    F.col("_ts_seg").isNull()
+                    | (F.col("seg") >= F.col("_ts_seg"))
+                )
+                .drop("_ts_seg")
+            )
+        _stage(alive.drop("seg"), VECTOR_SEG_DIR, None)
+    if vts is not None:
+        _stage(vts.select("path").distinct(), VECTOR_TS_DIR, None)
+
+    # drop = every folded dir with id < upto; the id-upto dirs are replaced
+    # by the staged moves (and must NOT be in drop — recovery re-runs it)
+    drop = [
+        d
+        for table in _SEG_DIRS
+        for d in _committed_seg_dirs(index_dir, table)
+        if _seg_dir_id(d) < upto
+    ]
+
     jpath = os.path.join(index_dir, SEG_JOURNAL)
     with open(jpath + ".tmp", "w") as f:
-        json.dump(
-            {
-                "seg": seg,
-                "moves": moves,
-                "manifest_json": manifest_json,
-                "blocks_stale": False,
-            },
-            f,
-        )
+        json.dump({"kind": "seg_merge", "moves": moves, "drop": drop}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(jpath + ".tmp", jpath)
-    for staged, final in moves:
-        os.replace(staged, final)
+    for d in drop:
+        shutil.rmtree(d, ignore_errors=True)
+    for tmp, live in moves:
+        shutil.rmtree(live, ignore_errors=True)
+        os.replace(tmp, live)
     os.remove(jpath)
+    # live content is unchanged — revalidate the diff-projection cache
+    # in place instead of forcing a rebuild scan on the next micro-batch
+    hit = _STORED_PROJ_CACHE.get(index_dir)
+    if hit is not None:
+        _STORED_PROJ_CACHE[index_dir] = (_index_state_token(index_dir), hit[1])
+    return len(folded)
 
 
 def compact_index(spark: SparkSession, index_dir: str) -> None:
@@ -587,6 +834,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     journal machinery (whole-directory staging + replace)."""
     from bm25_index_tool_spark import build as B
 
+    index_dir = os.path.abspath(index_dir)  # journaled paths must resolve
     recover_segments_if_needed(spark, index_dir)
     if not has_segments(index_dir):
         return
@@ -674,3 +922,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     for d in _SEG_DIRS:
         shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
     os.remove(jpath)
+    # compaction preserves live content — revalidate the diff-projection
+    # cache in place (same as merge_segments)
+    hit = _STORED_PROJ_CACHE.get(index_dir)
+    if hit is not None:
+        _STORED_PROJ_CACHE[index_dir] = (_index_state_token(index_dir), hit[1])

@@ -147,6 +147,17 @@ def _swap_partitions(
 JOURNAL = "_update.journal"
 
 
+def _commit_vector_moves(moves: list) -> None:
+    """Rename staged vector segment/tombstone dirs into place — idempotent
+    (a move whose final dir already exists was committed by a crashed run;
+    its leftover staging, if any, is swept)."""
+    for staged, final in moves:
+        if os.path.isdir(staged) and not os.path.isdir(final):
+            os.replace(staged, final)
+        elif os.path.isdir(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+
+
 def _fresh_parts(tmp_dir: str, part_col: str) -> list:
     """Partition values actually present in a staged tmp dir."""
     if not os.path.isdir(tmp_dir):
@@ -240,6 +251,11 @@ def recover_if_needed(spark: SparkSession, index_dir: str) -> bool:
 
         build_blocks(spark, index_dir)
 
+    # vector refresh staged before the journal (ADVICE r03): roll the
+    # segment/tombstone renames forward idempotently — staged dirs were
+    # complete before the journal existed
+    _commit_vector_moves(j.get("vector_moves", []))
+
     os.remove(jpath)
     for p in (postings_path, termstats_path, docs_path):
         shutil.rmtree(p + ".update-tmp", ignore_errors=True)
@@ -255,6 +271,7 @@ def apply_update(
     mode: str = "full",
     strategy: str = "append",
     auto_compact_segments: int | None = 16,
+    auto_compact_strategy: str = "full",
 ) -> "object":
     """True incremental update; returns the new IndexManifest.
 
@@ -284,9 +301,13 @@ def apply_update(
         return DS.apply_update_append(
             spark, index_dir, current, mode=mode,
             auto_compact_segments=auto_compact_segments,
+            auto_compact_strategy=auto_compact_strategy,
         )
     if strategy != "merge":
         raise ValueError(f"unknown strategy {strategy!r} (append|merge)")
+    # journals record staged paths verbatim — absolutize so recovery run
+    # from a different working directory still resolves them (ADVICE r03)
+    index_dir = os.path.abspath(index_dir)
     DS.recover_segments_if_needed(spark, index_dir)
     if DS.has_segments(index_dir):
         DS.compact_index(spark, index_dir)
@@ -353,7 +374,13 @@ def apply_update(
     )
 
     # ---- delta docs (the ONLY rows that get tokenized) ---------------------
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    # fresh ids come from the manifest's monotonic high-water mark, never
+    # from max over the live table — deleted max-ids must stay retired so a
+    # later append-strategy update's tombstones can't collide (ADVICE r03)
+    if manifest.next_doc_id > 0:
+        max_id = manifest.next_doc_id - 1
+    else:  # legacy manifest (no HWM field): best-available backfill
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
     added_src = changes.added.select(*_CORPUS_COLS)
     added_with_ids = (
         B.assign_doc_ids(added_src)
@@ -524,7 +551,24 @@ def apply_update(
         created_at=manifest.created_at,
         source=manifest.source,
         total_tokens=new_total,
+        # merge keeps modified docs' ids; only `added` minted fresh ones
+        next_doc_id=max_id + counts["added"] + 1,
     )
+
+    # ---- vector refresh rides the SAME journal (ADVICE r03, medium) --------
+    # Staged before the journal is written, committed (renamed) with the
+    # other moves, rolled forward by recover_if_needed — a crash anywhere
+    # after the journal can no longer commit the BM25 update while silently
+    # dropping the vector refresh.
+    vector_moves: list = []
+    if removed_paths is not None:
+        from bm25_index_tool_spark.vector import stage_vector_refresh
+
+        ids = DS.segment_ids(index_dir)
+        vec_seg = (max(ids) + 1) if ids else 1
+        stage_vector_refresh(
+            spark, index_dir, delta_full, removed_paths, vec_seg, vector_moves
+        )
 
     # ======== JOURNAL: durably record intent before touching live state ====
     # The journal carries everything recovery needs to roll the commit phase
@@ -545,6 +589,7 @@ def apply_update(
         "docs_schema": docs_schema.jsonValue(),
         "manifest_json": new_manifest.to_json(),
         "blocks_stale": os.path.exists(os.path.join(index_dir, B.BLOCKS_DIR)),
+        "vector_moves": vector_moves,
     }
     jpath = os.path.join(index_dir, JOURNAL)
     with open(jpath + ".tmp", "w") as f:
@@ -583,17 +628,9 @@ def apply_update(
             removed_ids,
         )
     delta_post.unpersist()
+    # vector refresh (reference commands/update.py:276+): the staged chunk
+    # segment + path tombstones become visible here, inside the journal's
+    # lifetime — recovery replays these renames idempotently
+    _commit_vector_moves(vector_moves)
     os.remove(jpath)
-
-    # vector store refresh (reference commands/update.py:276+): chunks of
-    # deleted∪modified docs drop, added∪modified re-embed — its own small
-    # stage→journal→commit since the bucket-swap journal above carries no
-    # segment moves
-    if removed_paths is not None:
-        from bm25_index_tool_spark.delta_store import commit_vector_refresh
-
-        commit_vector_refresh(
-            spark, index_dir, delta_full, removed_paths,
-            new_manifest.to_json(),
-        )
     return new_manifest

@@ -96,12 +96,14 @@ def stream_index_updates(
             .drop("_mtime", "_src", "_rn")
         )
         # empty batches are no-ops inside apply_update (empty ChangeSet
-        # short-circuit).  Every auto_compact_segments micro-batches the
-        # trigger pays one compaction (fold LSM segments) — raise the bound
-        # (or pass None and compact out-of-band) to keep triggers short.
+        # short-circuit).  Past auto_compact_segments outstanding segments
+        # the trigger pays a TIERED merge (fold the oldest half into one
+        # segment, cost ∝ delta — merge_segments), never the full O(base)
+        # fold; run compact_index out-of-band for zero read amplification.
         apply_update(
             spark, index_dir, deduped, mode="upsert",
             auto_compact_segments=auto_compact_segments,
+            auto_compact_strategy="tiered",
         )
 
     writer = stream.writeStream.foreachBatch(_merge).option(

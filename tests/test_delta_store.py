@@ -350,6 +350,250 @@ def test_append_full_delete_empties_index(spark, tmp_path):
     assert client._require("a").postings().count() == 0
 
 
+def _waves(rows, n):
+    """n successive corpora: wave i modifies doc i, deletes one base doc at
+    wave 1, adds one new doc at wave 2 — exercises base-targeting AND
+    segment-born tombstones."""
+    out = []
+    cur = list(rows)
+    for i in range(n):
+        cur = [
+            (r[0], r[1], r[2], r[3], r[4] + f" tiermark{i}")
+            if j == i
+            else r
+            for j, r in enumerate(cur)
+        ]
+        if i == 1:
+            cur = cur[:-1]  # delete a base doc
+        if i == 2:
+            cur = cur + C.generate_rows(N0 + 5, seed=55)[N0 + 4:]  # add one
+        out.append(list(cur))
+    return out
+
+
+def test_tiered_merge_equivalent_to_full(spark, tmp_path):
+    """VERDICT r03 #7: merge_segments folds the oldest half into ONE
+    segment without touching base (tree hashes identical), stays
+    FTS5-identical through successive tiered merges, and a final full fold
+    converges to the same state."""
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    rows = _base_rows()
+    client.create_index(
+        "a", spark.createDataFrame(rows, C.CORPUS_SCHEMA), num_buckets=4
+    )
+    idx_dir = client._index_dir("a")
+    base_before = {
+        sub: _tree_hashes(os.path.join(idx_dir, sub))
+        for sub in (B.POSTINGS_DIR, B.TERMSTATS_DIR, B.DOCS_DIR)
+    }
+    waves = _waves(rows, 4)
+    for cur in waves:
+        DS.apply_update_append(
+            spark, idx_dir, spark.createDataFrame(cur, C.CORPUS_SCHEMA),
+            auto_compact_segments=None,
+        )
+    final = waves[-1]
+    assert DS.segment_ids(idx_dir) == [1, 2, 3, 4]
+    m_before = B.load_manifest(idx_dir)
+    client._open.pop("a", None)
+    qs = QUERIES + ["tiermark0", "tiermark3"]
+    _assert_oracle_identical(client, "a", final, qs)
+
+    # fold oldest half → [merged(2), 3, 4]; base untouched
+    assert DS.merge_segments(spark, idx_dir) == 2
+    assert DS.segment_ids(idx_dir) == [2, 3, 4]
+    for sub, exp in base_before.items():
+        assert _tree_hashes(os.path.join(idx_dir, sub)) == exp, sub
+    client._open.pop("a", None)
+    _assert_oracle_identical(client, "a", final, qs)
+
+    # again → [merged(3), 4]; then explicit upto folds everything movable
+    assert DS.merge_segments(spark, idx_dir) == 2
+    assert DS.segment_ids(idx_dir) == [3, 4]
+    assert DS.merge_segments(spark, idx_dir, upto_seg=4) == 2
+    assert DS.segment_ids(idx_dir) == [4]
+    assert DS.merge_segments(spark, idx_dir) == 0  # single seg: no-op
+    for sub, exp in base_before.items():
+        assert _tree_hashes(os.path.join(idx_dir, sub)) == exp, sub
+    client._open.pop("a", None)
+    _assert_oracle_identical(client, "a", final, qs)
+    m_after = B.load_manifest(idx_dir)
+    assert (m_after.num_docs, m_after.total_tokens, m_after.next_doc_id) == (
+        m_before.num_docs, m_before.total_tokens, m_before.next_doc_id,
+    )
+
+    # full fold converges to the same oracle-identical state
+    DS.compact_index(spark, idx_dir)
+    assert not DS.has_segments(idx_dir)
+    client._open.pop("a", None)
+    _assert_oracle_identical(client, "a", final, qs)
+
+
+def test_seg_merge_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash after the seg_merge journal, mid-publish: recovery drops the
+    folded dirs and publishes the staged merged segment exactly once."""
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    rows = _base_rows()
+    client.create_index(
+        "a", spark.createDataFrame(rows, C.CORPUS_SCHEMA), num_buckets=4
+    )
+    idx_dir = client._index_dir("a")
+    waves = _waves(rows, 3)
+    for cur in waves:
+        DS.apply_update_append(
+            spark, idx_dir, spark.createDataFrame(cur, C.CORPUS_SCHEMA),
+            auto_compact_segments=None,
+        )
+    final = waves[-1]
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if src.endswith(".staging"):
+            raise RuntimeError("injected crash at merged-segment publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(DS.os, "replace", boom)
+    with pytest.raises(RuntimeError, match="merged-segment publish"):
+        DS.merge_segments(spark, idx_dir)
+    monkeypatch.setattr(DS.os, "replace", real_replace)
+
+    assert os.path.exists(os.path.join(idx_dir, DS.SEG_JOURNAL))
+    assert DS.recover_segments_if_needed(spark, idx_dir) is True
+    assert DS.segment_ids(idx_dir) == [2, 3]
+    client._open.pop("a", None)
+    client.cache.clear()
+    _assert_oracle_identical(
+        client, "a", final, QUERIES + ["tiermark0", "tiermark2"]
+    )
+    # no duplicate postings through the merged view
+    idx = client._require("a")
+    dups = idx.postings().groupBy("term", "doc_id").count().where("count > 1")
+    assert dups.count() == 0
+
+
+def test_tiered_merge_vector_segments(spark, tmp_path):
+    """Vector segment-order semantics survive the fold: after three edits
+    of one path and a tiered merge, exactly the newest chunk is alive."""
+    from bm25_index_tool_spark import vector as V
+
+    base = C.generate_rows(10, seed=93) + [
+        ("rw", "hot/doc.txt", "c0", "txt", "edition zero aardwolf")
+    ]
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "w", spark.createDataFrame(base, C.CORPUS_SCHEMA),
+        num_buckets=4, build_vector_index=True,
+    )
+    idx_dir = client._index_dir("w")
+    cur = base
+    for i in (1, 2, 3):
+        cur = [r for r in cur if r[1] != "hot/doc.txt"] + [
+            ("rw", "hot/doc.txt", f"c{i}", "txt", f"edition {i} bandicoot")
+        ]
+        DS.apply_update_append(
+            spark, idx_dir, spark.createDataFrame(cur, C.CORPUS_SCHEMA),
+            auto_compact_segments=None,
+        )
+    assert DS.merge_segments(spark, idx_dir) == 2  # folds segs 1,2
+    vv = V.vector_view(spark, idx_dir)
+    rows_ = vv.where("path = 'rw/hot/doc.txt'").select("chunk_text").collect()
+    assert [r["chunk_text"] for r in rows_] == ["edition 3 bandicoot"]
+    client._open.pop("w", None)
+    top = client.search_semantic("w", "edition 3 bandicoot", top_k=1)[0]
+    assert top["path"] == "rw/hot/doc.txt" and top["score"] == pytest.approx(1.0)
+
+
+def _doc_ids_by_path(client, name):
+    return {
+        r["full_path"]: r["doc_id"]
+        for r in client._require(name)
+        .docs()
+        .select("doc_id", "full_path")
+        .collect()
+    }
+
+
+def test_append_never_remints_tombstoned_ids(spark, tmp_path):
+    """ADVICE r03 (high): delete the max-doc_id docs in one append update,
+    add docs in the next — the new docs must get ids above the manifest's
+    monotonic high-water mark, NOT the retired ids (whose tombstones would
+    anti-join the new rows out of every view and compaction would then
+    permanently delete them)."""
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    rows = _base_rows()[:20]
+    client.create_index(
+        "a", spark.createDataFrame(rows, C.CORPUS_SCHEMA), num_buckets=4
+    )
+    ids0 = _doc_ids_by_path(client, "a")
+    max_ever = max(ids0.values())
+    top3 = sorted(ids0, key=ids0.get)[-3:]  # paths holding the 3 max ids
+
+    wave1 = [r for r in rows if f"{r[0]}/{r[1]}" not in top3]
+    client.update_index("a", spark.createDataFrame(wave1, C.CORPUS_SCHEMA))
+    client._open.pop("a", None)
+
+    added = C.generate_rows(22, seed=55)[20:]  # 2 brand-new paths
+    wave2 = wave1 + added
+    m = client.update_index("a", spark.createDataFrame(wave2, C.CORPUS_SCHEMA))
+    client._open.pop("a", None)
+
+    ids2 = _doc_ids_by_path(client, "a")
+    # every doc of the new corpus is LIVE (none hidden by a stale tombstone)
+    assert len(ids2) == m.num_docs == len(wave2)
+    # fresh ids are strictly above every id that ever existed
+    new_ids = [ids2[f"{r[0]}/{r[1]}"] for r in added]
+    assert min(new_ids) > max_ever
+    assert m.next_doc_id == max(ids2.values()) + 1
+    _assert_oracle_identical(client, "a", wave2, QUERIES)
+
+    # compaction must keep them (the original bug deleted them here)
+    client.compact_index("a")
+    client._open.pop("a", None)
+    assert len(_doc_ids_by_path(client, "a")) == len(wave2)
+    _assert_oracle_identical(client, "a", wave2, QUERIES)
+
+
+def test_append_legacy_manifest_id_fallback(spark, tmp_path):
+    """Manifests written before ``next_doc_id`` existed: the fallback
+    derives the high-water mark from base ∪ segments BEFORE the tombstone
+    anti-join, so retired max-ids still count."""
+    import json as J
+
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    rows = _base_rows()[:12]
+    client.create_index(
+        "a", spark.createDataFrame(rows, C.CORPUS_SCHEMA), num_buckets=4
+    )
+    idx_dir = client._index_dir("a")
+    ids0 = _doc_ids_by_path(client, "a")
+    max_ever = max(ids0.values())
+
+    def _strip_hwm():
+        mp = os.path.join(idx_dir, B.MANIFEST)
+        with open(mp) as f:
+            d = J.load(f)
+        d.pop("next_doc_id", None)
+        with open(mp, "w") as f:
+            J.dump(d, f)
+
+    _strip_hwm()
+    top_path = max(ids0, key=ids0.get)
+    wave1 = [r for r in rows if f"{r[0]}/{r[1]}" != top_path]
+    client.update_index("a", spark.createDataFrame(wave1, C.CORPUS_SCHEMA))
+    client._open.pop("a", None)
+
+    _strip_hwm()  # next update must fall back again — tombstoned max counts
+    added = C.generate_rows(13, seed=55)[12:]
+    wave2 = wave1 + added
+    m = client.update_index("a", spark.createDataFrame(wave2, C.CORPUS_SCHEMA))
+    client._open.pop("a", None)
+    ids2 = _doc_ids_by_path(client, "a")
+    assert len(ids2) == m.num_docs == len(wave2)
+    assert ids2[f"{added[0][0]}/{added[0][1]}"] > max_ever
+    _assert_oracle_identical(client, "a", wave2, QUERIES)
+
+
 def test_append_onto_legacy_flat_docs_table(spark, tmp_path):
     """An index whose docs table predates doc_pt partitioning (flat
     parquet) must accept append updates: the segment still carries doc_pt

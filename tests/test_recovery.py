@@ -208,6 +208,72 @@ def test_crash_before_journal_leaves_index_untouched(
     _assert_converged(spark, client, "r", _delta_rows())
 
 
+def test_merge_vector_refresh_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """ADVICE r03 (medium): the merge-strategy vector refresh rides the
+    SAME _update.journal as the bucket swaps — a crash after the BM25
+    commit but before the vector segment renames must be rolled forward by
+    recovery, never silently dropped (which left the vector store
+    permanently stale)."""
+    import pytest as _pytest
+
+    from bm25_index_tool_spark import delta_store as DS
+    from bm25_index_tool_spark import vector as V
+
+    old_b = "benthic oscillation ledger"
+    new_b = "glowworm cartography almanac"
+    base = C.generate_rows(15, seed=91) + [
+        ("rv", "keep/b.txt", "c1", "txt", old_b)
+    ]
+    client = BM25SparkClient(spark, str(tmp_path / "root_vec"))
+    client.create_index(
+        "v", spark.createDataFrame(base, C.CORPUS_SCHEMA),
+        num_buckets=4, build_vector_index=True,
+    )
+    idx_dir = client._index_dir("v")
+    cur = [r for r in base if r[1] != "keep/b.txt"] + [
+        ("rv", "keep/b.txt", "c2", "txt", new_b)
+    ]
+
+    real_commit = I._commit_vector_moves
+
+    def boom(moves):
+        raise _Boom("injected crash before vector segment commit")
+
+    monkeypatch.setattr(I, "_commit_vector_moves", boom)
+    with pytest.raises(_Boom):
+        client.update_index(
+            "v", spark.createDataFrame(cur, C.CORPUS_SCHEMA), strategy="merge"
+        )
+    monkeypatch.setattr(I, "_commit_vector_moves", real_commit)
+
+    jpath = os.path.join(idx_dir, I.JOURNAL)
+    assert os.path.exists(jpath), "journal must survive the crash window"
+    # the segment-journal sweeper must NOT discard staging referenced by a
+    # pending merge journal (it runs first on every index open)
+    assert DS.recover_segments_if_needed(spark, idx_dir) is False
+    assert any(
+        n.endswith(".staging")
+        for n in os.listdir(os.path.join(idx_dir, DS.VECTOR_SEG_DIR))
+    ), "staged vector segment swept before recovery"
+
+    assert I.recover_if_needed(spark, idx_dir) is True
+    assert not os.path.exists(jpath)
+    client._open.pop("v", None)
+    client.cache.clear()
+
+    top = client.search_semantic("v", new_b, top_k=1)[0]
+    assert top["path"] == "rv/keep/b.txt"
+    assert top["score"] == _pytest.approx(1.0)
+    vv = V.vector_view(spark, idx_dir)
+    assert vv.where(vv.chunk_text == old_b).count() == 0
+    _assert_converged_rows = [r for r in cur]  # BM25 side converged too
+    oracle = FTS5Oracle()
+    oracle.add_documents(C.ordered_rows(_assert_converged_rows))
+    got = client.search("v", "glowworm", top_k=5, use_cache=False)
+    exp = oracle.search_bm25("glowworm", top_k=5)
+    assert [r["path"] for r in got] == [e[1] for e in exp]
+
+
 def test_duplicate_full_path_rejected(spark, tmp_path):
     client = BM25SparkClient(spark, str(tmp_path / "root_dup"))
     client.create_index(
