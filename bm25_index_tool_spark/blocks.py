@@ -223,11 +223,21 @@ def build_blocks(
     result.write.mode("overwrite").partitionBy("shard").parquet(blocks_path)
 
     n_blocks = spark.read.parquet(blocks_path).count()
+    # longest posting list — the engine auto-selection stat (wand.py
+    # choose_engine): WAND pays off once lists dwarf the block size.  From
+    # the (small) termstats live view, one scalar agg.  Refreshed on every
+    # build_blocks; update_blocks keeps the stored value (order-of-magnitude
+    # heuristic, benign staleness).
+    ts = spark.read.parquet(os.path.join(index_dir, B.TERMSTATS_DIR))
+    if DS.has_segments(index_dir):
+        ts = DS.termstats_view(spark, index_dir, ts)
+    max_df = ts.agg(F.max("df")).collect()[0][0] or 0
     meta = {
         "num_shards": num_shards,
         "block_size": block_size,
         "n_blocks": n_blocks,
         "shard_span": shard_span,
+        "max_df": int(max_df),
     }
     import json as _json
 

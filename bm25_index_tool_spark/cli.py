@@ -88,7 +88,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--fragments", "-C", action="store_true")
     q.add_argument("--path-filter", action="append", default=None)
     q.add_argument("--exclude-path", action="append", default=None)
-    q.add_argument("--engine", default="join", choices=["join", "blocks"])
+    q.add_argument(
+        "--engine", default="auto", choices=["auto", "join", "blocks"],
+        help="auto picks blocks when the index's max posting-list length "
+        "crosses the WAND crossover (wand_df_threshold in config.toml)",
+    )
     q.add_argument("--related-to", default=None, help="find docs related to this path instead")
     q.add_argument("--semantic", action="store_true", help="chunk-level semantic search (needs create --vector)")
 
@@ -123,9 +127,21 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("delete", help="delete an index")
     d.add_argument("name")
 
-    h = sub.add_parser("history", help="recent / searched query history")
+    h = sub.add_parser(
+        "history",
+        help="recent / searched query history; --clear wipes it, --stats "
+        "summarizes (reference history clear/stats subcommands)",
+    )
     h.add_argument("--search", default=None)
     h.add_argument("-n", "--top", type=int, default=10)
+    h.add_argument(
+        "--clear", action="store_true",
+        help="permanently delete all history entries",
+    )
+    h.add_argument(
+        "--stats", action="store_true",
+        help="total count, top queries, average elapsed time",
+    )
 
     comp = sub.add_parser("completion", help="emit a shell completion script")
     comp.add_argument("shell", choices=["bash", "zsh", "fish"])
@@ -273,13 +289,28 @@ def main(argv: list[str] | None = None) -> int:
         client.delete_index(args.name)
         print(f"Deleted '{args.name}'")
     elif args.cmd == "history":
-        rows = (
-            client.history.search(args.search, args.top)
-            if args.search
-            else client.history.recent(args.top)
-        )
-        for r in rows:
-            print(f"{r['timestamp']}  {r['query']!r}  ({r['result_count']} results, {r['elapsed_seconds']:.2f}s)")
+        if args.clear:
+            n = client.history.clear()
+            print(
+                f"Deleted {n} history entries." if n else "History is already empty."
+            )
+        elif args.stats:
+            st = client.history.stats(top_n=args.top)
+            print(f"Total history entries: {st['total']}")
+            print(f"Average elapsed: {st['avg_elapsed_seconds']:.3f}s")
+            for q in st["top_queries"]:
+                print(
+                    f"  {q['count']:>4}x  {q['query']!r}  "
+                    f"(avg {q['avg_elapsed_seconds']:.3f}s)"
+                )
+        else:
+            rows = (
+                client.history.search(args.search, args.top)
+                if args.search
+                else client.history.recent(args.top)
+            )
+            for r in rows:
+                print(f"{r['timestamp']}  {r['query']!r}  ({r['result_count']} results, {r['elapsed_seconds']:.2f}s)")
     _stop(client)
     return 0
 

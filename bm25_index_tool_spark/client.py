@@ -295,15 +295,26 @@ class BM25SparkClient:
         path_filter: list[str] | None = None,
         exclude_path: list[str] | None = None,
         use_cache: bool = True,
-        engine: str = "join",
+        engine: str = "auto",
     ) -> list[dict[str, Any]]:
         """Single-index search returning result dicts (reference
         ``BM25Client.search`` shape: path, name, score[, content,
         fragments]).  Cache is bypassed when fragments or path filters are
         active — reference ``api.py:277`` behavior.
 
-        ``engine``: 'join' (plan 1, default) or 'blocks' (block-max WAND
-        over the compressed block store; requires build_block_engine)."""
+        ``engine``: 'auto' (default — pick from the index's recorded
+        max-df vs the WAND crossover, wand.choose_engine; resolves to
+        'join' without a block store), 'join' (plan 1), or 'blocks'
+        (block-max WAND over the compressed block store; requires
+        build_block_engine).  Both engines are rank-identical, so the
+        choice is purely cost."""
+        if engine == "auto":
+            from bm25_index_tool_spark.wand import choose_engine
+
+            engine = choose_engine(
+                self._index_dir(name),
+                df_threshold=self.config.extras.get("wand_df_threshold"),
+            )
         pf = PathFilter(path_filter or [], exclude_path or [])
         cacheable = use_cache and not fragments and pf.is_empty()
         # include_content is part of the key: cached rows only carry

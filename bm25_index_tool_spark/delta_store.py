@@ -368,6 +368,54 @@ def _tokenize_rows(spark, rows: DataFrame, profile: str) -> DataFrame:
     )
 
 
+def full_diff_frame(cur: DataFrame, stored: DataFrame) -> DataFrame:
+    """Full-snapshot diff: ``cur`` is the complete corpus, so absence means
+    deletion — a full-outer join on the narrow (full_path, md5)
+    projections.  Both sides are corpus-sized; the shuffle is inherent to
+    full-snapshot semantics (the reference diffs the same way)."""
+    return (
+        cur.select("full_path", "content_md5")
+        .join(stored, "full_path", "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("_s").isNull(), F.lit("added"))
+            .when(F.col("content_md5").isNull(), F.lit("deleted"))
+            .when(F.col("content_md5") != F.col("_s"), F.lit("modified"))
+            .otherwise(F.lit("same")),
+        )
+        .where(F.col("status") != "same")
+        .select("full_path", "status", "doc_id")
+    )
+
+
+def upsert_diff_frame(cur: DataFrame, stored: DataFrame) -> DataFrame:
+    """Micro-batch diff (mode="upsert": absence is NOT deletion): the tiny
+    batch side is BROADCAST into the stored projection twice — an inner
+    join classifies modified-vs-same (stored side streamed, never shuffled
+    or sorted) and an anti-join against the (delta-sized) matched paths
+    yields the adds.  At 10⁹ stored docs a full-outer diff would shuffle
+    the whole narrow projection every trigger; this plan only scans it
+    (plan-audited in PLANS.md §streaming upsert)."""
+    cur_sel = cur.select("full_path", "content_md5")
+    matched = stored.join(F.broadcast(cur_sel), "full_path", "inner")
+    modified = (
+        matched.where(F.col("content_md5") != F.col("_s"))
+        .select("full_path", F.lit("modified").alias("status"), "doc_id")
+    )
+    id_type = dict(stored.dtypes)["doc_id"]
+    added = (
+        cur_sel.join(
+            F.broadcast(matched.select("full_path")), "full_path", "left_anti"
+        )
+        .select(
+            "full_path",
+            F.lit("added").alias("status"),
+            F.lit(None).cast(id_type).alias("doc_id"),
+        )
+    )
+    return modified.unionByName(added)
+
+
 def apply_update_append(
     spark: SparkSession,
     index_dir: str,
@@ -427,22 +475,11 @@ def apply_update_append(
     stored = stored_proj.select(
         "full_path", F.col("content_md5").alias("_s"), "doc_id"
     )
-    diff = (
-        cur.select("full_path", "content_md5")
-        .join(stored, "full_path", "full_outer")
-        .withColumn(
-            "status",
-            F.when(F.col("_s").isNull(), F.lit("added"))
-            .when(F.col("content_md5").isNull(), F.lit("deleted"))
-            .when(F.col("content_md5") != F.col("_s"), F.lit("modified"))
-            .otherwise(F.lit("same")),
-        )
-        .where(F.col("status") != "same")
-        .select("full_path", "status", "doc_id")
-    )
     if mode == "upsert":
-        diff = diff.where(F.col("status") != "deleted")
-    elif mode != "full":
+        diff = upsert_diff_frame(cur, stored)
+    elif mode == "full":
+        diff = full_diff_frame(cur, stored)
+    else:
         raise ValueError(f"unknown update mode {mode!r} (full|upsert)")
     diff = diff.localCheckpoint(eager=True)
 

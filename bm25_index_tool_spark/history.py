@@ -76,3 +76,51 @@ class SearchHistory:
 
     def count(self) -> int:
         return self.df().count()
+
+    def clear(self) -> int:
+        """Permanently delete all history; returns the number of entries
+        deleted (reference ``core/history.py:234-249`` /
+        ``commands/history.py:145-211``)."""
+        import shutil
+
+        n = self.count()
+        shutil.rmtree(self.dir, ignore_errors=True)
+        self._seq = 0
+        return n
+
+    def stats(self, top_n: int = 5) -> dict:
+        """History statistics: total entry count (reference
+        ``commands/history.py:213-250``), plus the per-query breakdown the
+        parquet log makes one aggregate away — top queries by frequency and
+        average elapsed seconds."""
+        df = self.df()
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.avg("elapsed_seconds").alias("avg_elapsed"),
+        ).collect()[0]
+        top = (
+            df.groupBy("query")
+            .agg(
+                F.count("*").alias("n"),
+                F.avg("elapsed_seconds").alias("avg_elapsed"),
+            )
+            .orderBy(F.desc("n"), F.asc("query"))
+            .limit(top_n)
+            .collect()
+        )
+        return {
+            "total": int(row["n"]),
+            "avg_elapsed_seconds": (
+                round(float(row["avg_elapsed"]), 6)
+                if row["avg_elapsed"] is not None
+                else 0.0
+            ),
+            "top_queries": [
+                {
+                    "query": r["query"],
+                    "count": int(r["n"]),
+                    "avg_elapsed_seconds": round(float(r["avg_elapsed"]), 6),
+                }
+                for r in top
+            ],
+        }

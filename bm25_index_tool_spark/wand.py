@@ -31,6 +31,38 @@ from bm25_index_tool_spark.score import IDF_EPSILON, LoadedIndex
 from bm25_index_tool_spark.tokenize import tokenize_fts5_query
 
 
+# Engine auto-selection (VERDICT r03 #4).  The cost driver separating the
+# two rank-identical plans is the HOTTEST posting list length, not corpus
+# size: the join plan shuffles + aggregates every matching posting row
+# (cost ∝ Σ df over query terms), while block-max WAND's skipping only pays
+# once lists dwarf the 128-doc block size and upper bounds prune real
+# decode work.  Measured crossover (BENCH/BASELINE_APPENDIX.md): join wins
+# at sf0.1's natural df (≤ a few 10⁴); WAND wins on the hot-term bench
+# corpus (uniform-term df in the 10⁵ range with skewed tf).  Default
+# threshold sits at that boundary; override per deployment via
+# ``wand_df_threshold`` in config.toml.
+WAND_DF_THRESHOLD = 100_000
+
+
+def choose_engine(index_dir: str, *, df_threshold: int | None = None) -> str:
+    """'blocks' when the block store exists and its recorded longest
+    posting list (blocks_meta.json max_df, refreshed by build_blocks)
+    crosses the WAND crossover threshold; 'join' otherwise."""
+    import json
+    import os
+
+    thr = WAND_DF_THRESHOLD if df_threshold is None else int(df_threshold)
+    mp = os.path.join(index_dir, "blocks_meta.json")
+    try:
+        with open(mp) as f:
+            max_df = json.load(f).get("max_df")
+    except (OSError, ValueError):
+        return "join"
+    if max_df is None:  # pre-max_df block store: stay on the default plan
+        return "join"
+    return "blocks" if max_df >= thr else "join"
+
+
 def _idf(n_docs: int, df: int) -> float:
     import math
 

@@ -242,6 +242,7 @@ def test_search_multi_and_cache_and_history(spark, client):
 
     # cache: second identical search is a hit
     h0 = client.cache.stats()["hits"]
+    a0 = client.history.df().where("query = 'apple'").count()
     r1 = client.search("m0", "apple", top_k=5)
     r2 = client.search("m0", "apple", top_k=5)
     assert r1 == r2
@@ -259,6 +260,27 @@ def test_search_multi_and_cache_and_history(spark, client):
     assert r3 and all("content" in r and r["content"] for r in r3)
     r4 = client.search("m0", "apple", top_k=5)  # content-less again
     assert all("content" not in r for r in r4)
+
+    # stats: total + per-query breakdown (reference history stats shows the
+    # total; cache HITS are not logged, so this test added exactly two
+    # "apple" executions — r1 and the include_content variant; the shared
+    # client fixture may carry earlier tests' entries, hence the delta)
+    st = client.history.stats(top_n=10)
+    assert st["total"] == client.history.count() > 0
+    assert st["avg_elapsed_seconds"] > 0
+    apple = next(q for q in st["top_queries"] if q["query"] == "apple")
+    assert apple["count"] == a0 + 2
+    assert apple["avg_elapsed_seconds"] > 0
+
+    # clear: returns the count deleted, leaves an empty reloadable log
+    n = client.history.clear()
+    assert n == st["total"]
+    assert client.history.count() == 0
+    assert client.history.clear() == 0  # idempotent
+    assert client.history.stats()["top_queries"] == []
+    # logging still works after a clear
+    client.search("m0", "apple", top_k=5, use_cache=False)
+    assert client.history.count() == 1
 
 
 def test_client_block_engine(spark, client):

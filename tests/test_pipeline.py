@@ -333,8 +333,15 @@ def test_multimodal_plumbing(spark):
     )
 
     media = synthetic_media_df(spark, n=30, seed=7)
-    with pytest.raises(NotImplementedError):
-        decode_image_batch(media).collect()
+    try:  # without PIL the non-fake path is stub-gated at the driver
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_image_batch(media).collect()
 
     feats = decode_image_batch(media, deterministic_fake=True)
     rows = feats.collect()
@@ -377,3 +384,40 @@ def test_multimodal_plumbing(spark):
         emb, q, k=3, id_col="media_id", vec_col="embedding"
     ).collect()
     assert top[0]["id"] == erows[0]["media_id"] and top[0]["cosine"] == 1.0
+
+
+def test_real_decode_golden_contract(spark):
+    """VERDICT r03 #8: when PIL is installed, a tiny REAL PNG decodes
+    through the SAME mapInPandas plumbing and FEATURES_SCHEMA as the
+    deterministic fake — proving the stub gate is the only delta between
+    the two paths.  Skipped (never failed) where PIL is absent; the schema
+    contract itself is asserted unconditionally first."""
+    from bm25_index_tool_spark.pipeline.multimodal import (
+        FEATURES_SCHEMA,
+        MEDIA_SCHEMA,
+        decode_image_batch,
+        synthetic_media_df,
+    )
+
+    # schema contract holds regardless of decoder availability
+    fake = decode_image_batch(
+        synthetic_media_df(spark, n=6, seed=11), deterministic_fake=True
+    )
+    assert fake.schema == FEATURES_SCHEMA
+
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = Image.new("RGB", (37, 21), (250, 10, 10))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(payload), "image/png", len(payload))],
+        MEDIA_SCHEMA,
+    )
+    real = decode_image_batch(df)  # real path: no deterministic_fake
+    assert real.schema == FEATURES_SCHEMA
+    row = real.collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (37, 21, 1)
+    assert len(row["feature_hash"]) == 16

@@ -229,3 +229,79 @@ def test_block_store_delta_update(spark, tmp_path):
         assert [r["path"] for r in plan1] == [e[1] for e in expected], q
         for e, g in zip(expected, plan1):
             assert math.isclose(e[4], g["score"], rel_tol=1e-9), q
+
+
+def test_choose_engine_heuristic(tmp_path):
+    """VERDICT r03 #4: engine auto-selection from the recorded longest
+    posting list vs the WAND crossover threshold, with per-deployment
+    override; every failure mode degrades to the safe default 'join'."""
+    import json
+    import os
+
+    from bm25_index_tool_spark.wand import WAND_DF_THRESHOLD, choose_engine
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    assert choose_engine(d) == "join"  # no block store at all
+
+    meta = os.path.join(d, "blocks_meta.json")
+
+    def put(obj):
+        with open(meta, "w") as f:
+            if isinstance(obj, str):
+                f.write(obj)
+            else:
+                json.dump(obj, f)
+
+    put({"max_df": WAND_DF_THRESHOLD - 1})
+    assert choose_engine(d) == "join"
+    put({"max_df": WAND_DF_THRESHOLD})
+    assert choose_engine(d) == "blocks"
+    # per-deployment override (config.toml wand_df_threshold)
+    assert choose_engine(d, df_threshold=10**9) == "join"
+    put({"max_df": 50})
+    assert choose_engine(d, df_threshold=10) == "blocks"
+    # legacy meta without max_df / corrupt file → safe default
+    put({"n_blocks": 3})
+    assert choose_engine(d) == "join"
+    put("not json")
+    assert choose_engine(d) == "join"
+
+
+def test_build_blocks_records_max_df_and_auto_resolves(spark, tmp_path):
+    """build_blocks persists max_df; client engine='auto' resolves to join
+    below the threshold (rank-identity already proven for both engines) and
+    honors the config override flipping it to blocks."""
+    import json
+    import os
+
+    from bm25_index_tool_spark import corpus as C
+    from bm25_index_tool_spark.client import BM25SparkClient
+
+    root = str(tmp_path / "root")
+    client = BM25SparkClient(spark, root)
+    rows = C.generate_rows(40, seed=31)
+    client.create_index(
+        "h", spark.createDataFrame(rows, C.CORPUS_SCHEMA),
+        num_buckets=4, build_block_engine=True,
+    )
+    meta_path = os.path.join(client._index_dir("h"), "blocks_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert 0 < meta["max_df"] <= 40
+
+    res_auto = client.search("h", "data value", top_k=5, use_cache=False)
+    res_join = client.search(
+        "h", "data value", top_k=5, use_cache=False, engine="join"
+    )
+    assert res_auto == res_join  # tiny corpus: auto resolves to join
+
+    # config override drops the crossover below this corpus's max_df →
+    # auto now runs the blocks engine; results must stay identical
+    client.config.extras["wand_df_threshold"] = 1
+    res_blocks = client.search("h", "data value", top_k=5, use_cache=False)
+    assert [r["document_id"] for r in res_blocks] == [
+        r["document_id"] for r in res_join
+    ]
+    for a, b in zip(res_blocks, res_join):
+        assert math.isclose(a["score"], b["score"], rel_tol=1e-9)

@@ -231,6 +231,70 @@ def main() -> None:
         ),
     }
 
+    # ---- streaming upsert diff plan (VERDICT r03 #9) ---------------------
+    # The foreachBatch merge's diff must broadcast the (tiny) micro-batch
+    # into the stored-docs projection — stored side streamed, never
+    # shuffled — and the stored scan must read only the narrow diff columns.
+    from pyspark.sql import functions as F
+
+    from bm25_index_tool_spark import delta_store as DSM
+
+    lsm_dir = lsm_client._index_dir("lsm")
+    docs_live = DSM.docs_view(
+        spark, lsm_dir, spark.read.parquet(os.path.join(lsm_dir, B.DOCS_DIR))
+    )
+    stored = docs_live.select(
+        "full_path", F.col("content_md5").alias("_s"), "doc_id"
+    )
+    batch = (
+        spark.createDataFrame(
+            [
+                (r[0], r[1], r[2], r[3], r[4] + " tick")
+                for r in lsm_rows[:5]
+            ]
+            + [("rb", "brand/new.txt", "c0", "txt", "fresh drop")],
+            C.CORPUS_SCHEMA,
+        )
+        .withColumn("full_path", F.concat_ws("/", "repo", "path"))
+        .withColumn("content_md5", F.md5("content"))
+    )
+    ud = DSM.upsert_diff_frame(batch, stored)
+    ud.collect()
+    ubuf = io.StringIO()
+    with redirect_stdout(ubuf):
+        ud.explain("formatted")
+    uplan = ubuf.getvalue()
+    _narrow_ok = [
+        ln
+        for ln in uplan.splitlines()
+        if "ReadSchema" in ln and "content_md5" in ln
+    ]
+    upsert_checks = {
+        "micro-batch side broadcast into the stored scan "
+        "(BroadcastHashJoin; stored side streamed)": (
+            "BroadcastHashJoin" in uplan
+        ),
+        "no shuffle join anywhere in the diff "
+        "(no SortMergeJoin/ShuffledHashJoin)": (
+            "SortMergeJoin" not in uplan and "ShuffledHashJoin" not in uplan
+        ),
+        "adds derived via broadcast anti-join on matched paths (LeftAnti)": (
+            "LeftAnti" in uplan
+        ),
+        "stored-docs scans pruned to the narrow diff columns "
+        "(every content_md5 ReadSchema lacks content/content_sha256)": (
+            bool(_narrow_ok)
+            and all(
+                "content_sha256" not in ln and "content:string" not in ln
+                for ln in _narrow_ok
+            )
+        ),
+        "no cartesian/nested-loop join in the diff": (
+            "CartesianProduct" not in uplan
+            and "BroadcastNestedLoopJoin" not in uplan
+        ),
+    }
+
     lines = [
         "# PLANS.md — physical-plan audit of the BM25 scorer (plan 1)",
         "",
@@ -260,12 +324,16 @@ def main() -> None:
         ("ANN probes (materialized SRP + IVF indexes)", ann_checks),
         ("Dedup hot paths (banded MinHash + n-gram Jaccard, sf0.001)", dedup_checks),
         ("LSM live view (post-append-update scorer plan)", lsm_checks),
+        ("Streaming upsert diff (foreachBatch merge, mode=upsert)", upsert_checks),
     ):
         lines += ["", f"## {title}", "", "| property | present |", "|---|---|"]
         for name, passed in cks.items():
             lines.append(f"| {name} | {'✅' if passed else '❌'} |")
             ok = ok and passed
-    checks = {**checks, **batch_checks, **ann_checks, **dedup_checks, **lsm_checks}
+    checks = {
+        **checks, **batch_checks, **ann_checks, **dedup_checks,
+        **lsm_checks, **upsert_checks,
+    }
     lines += [
         "",
         "## ANN SRP probe `explain(\"formatted\")`",
@@ -284,6 +352,12 @@ def main() -> None:
         "",
         "```",
         lplan.strip(),
+        "```",
+        "",
+        "## Streaming upsert diff `explain(\"formatted\")`",
+        "",
+        "```",
+        uplan.strip(),
         "```",
     ]
     lines += [
