@@ -127,7 +127,7 @@ def _advance_stored_projection(
 
 
 def invalidate_stored_projection(index_dir: str) -> None:
-    hit = _STORED_PROJ_CACHE.pop(index_dir, None)
+    hit = _STORED_PROJ_CACHE.pop(os.path.abspath(index_dir), None)
     if hit is not None:
         hit[1].unpersist()
 

@@ -1248,6 +1248,109 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents"""
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Composed training-data cleaning pass — the pipeline a 100-TB corpus
+    runs before tokenization, demonstrated as plain DataFrame composition
+    (quality filter → exact dedup keeping the lowest doc_id per content
+    hash → language-ID the survivors).  Duplicates are injected
+    (doc_id%25==0 re-keyed +10000, same fixture as dedup_exact) so the
+    dedup stage does real work.  One declarative plan: Catalyst fuses the
+    three stages; the only shuffle is the dedup groupBy."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    dups = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    combined = docs.unionByName(dups)
+    quality = TS.quality_scores(combined, "doc_id", "text")
+    kept = combined.join(
+        quality.where("keep").select(
+            F.col("id").alias("doc_id"), "n_tokens"
+        ),
+        "doc_id",
+    )
+    canonical = (
+        kept.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    survivors = kept.join(canonical.select("doc_id"), "doc_id", "left_semi")
+    lang = TS.language_id(survivors, "doc_id", "text")
+    return survivors.join(
+        lang.select(F.col("id").alias("doc_id"), "predicted_lang"), "doc_id"
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "predicted_lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5("text").alias("content_hash"),
+    )
+
+
+def _sql_clean_corpus() -> str:
+    hits_cols = ",\n    ".join(
+        f"len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in markers)
+        + f"], x))) AS hits_{lang}"
+        for lang, markers in sorted(TS.LANG_MARKERS.items())
+    )
+    langs = sorted(TS.LANG_MARKERS)
+    best = f"greatest({', '.join('hits_' + lang for lang in langs)})"
+    pick = "CASE "
+    for lang in langs:
+        pick += f"WHEN hits_{lang} = best THEN '{lang}' "
+    pick += "END"
+    return f"""
+WITH combined AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents
+  WHERE doc_id < 200 AND doc_id % 25 = 0
+),
+base AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum
+  FROM combined
+),
+feat AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+    round(CASE WHEN n_chars > 0 THEN CAST(n_chars - n_alnum AS DOUBLE) / n_chars ELSE 0.0 END, 9) AS non_alnum_ratio,
+    round(CASE WHEN len(toks) > 0 THEN CAST(n_alnum AS DOUBLE) / len(toks) ELSE 0.0 END, 9) AS mean_word_len
+  FROM base
+),
+kept AS (
+  SELECT doc_id, text, n_tokens FROM feat
+  WHERE n_tokens >= 5 AND non_alnum_ratio < 0.6 AND mean_word_len >= 2.0
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+survivors AS (
+  SELECT k.doc_id, k.text, k.n_tokens FROM kept k
+  JOIN canon c ON k.doc_id = c.doc_id
+),
+sbase AS (
+  SELECT doc_id, text, n_tokens,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM survivors
+),
+hits AS (
+  SELECT doc_id, text, n_tokens,
+    {hits_cols}
+  FROM sbase
+),
+bests AS (SELECT *, {best} AS best FROM hits)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN best > 0 THEN {pick} ELSE 'und' END AS predicted_lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       md5(text) AS content_hash
+FROM bests"""
+
+
 # -- vector surface: word-window chunker (T4) + chunk-level search (J2) --------
 
 CHUNK_SIZE = 40
@@ -1444,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "clean_corpus": q_clean_corpus,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1484,5 +1588,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _sql_quality(),
         "lang_id": _sql_lang_id(),
         "fingerprints": SQL_FINGERPRINTS,
+        "clean_corpus": _sql_clean_corpus(),
         "multimodal_features": SQL_MULTIMODAL,
     }
