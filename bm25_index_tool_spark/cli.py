@@ -143,6 +143,14 @@ def main(argv: list[str] | None = None) -> int:
         help="total count, top queries, average elapsed time",
     )
 
+    ann = sub.add_parser(
+        "ann",
+        help="build/refresh the IVF ANN index over an index's vector store "
+        "(semantic search auto-uses it while fresh; re-run after compact)",
+    )
+    ann.add_argument("name")
+    ann.add_argument("-m", "--cells", type=int, default=64)
+
     comp = sub.add_parser("completion", help="emit a shell completion script")
     comp.add_argument("shell", choices=["bash", "zsh", "fish"])
 
@@ -288,6 +296,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "delete":
         client.delete_index(args.name)
         print(f"Deleted '{args.name}'")
+    elif args.cmd == "ann":
+        meta = client.build_vector_ann(args.name, m=args.cells)
+        print(
+            f"ANN index for '{args.name}': {meta['n_chunks']} chunks in "
+            f"{meta['m']} cells ({meta['quantizer']})"
+        )
     elif args.cmd == "history":
         if args.clear:
             n = client.history.clear()

@@ -414,18 +414,38 @@ class BM25SparkClient:
             for r in rows
         ]
 
+    def build_vector_ann(self, name: str, *, m: int = 64, **kw) -> dict:
+        """Materialize the IVF-Flat ANN index over the index's chunk-vector
+        store (the 100-TB semantic-search path; vector.build_vector_ann).
+        Re-run after compact_index — search falls back to the exact scan
+        while the index is stale."""
+        from bm25_index_tool_spark.vector import build_vector_ann
+
+        self._require(name)
+        return build_vector_ann(self.spark, self._index_dir(name), m=m, **kw)
+
     def search_semantic(
-        self, name: str, query: str, top_k: int = 10
+        self,
+        name: str,
+        query: str,
+        top_k: int = 10,
+        *,
+        method: str = "auto",
+        nprobe: int | None = None,
     ) -> list[dict[str, Any]]:
         """Chunk-level semantic search (reference ``VectorSearcher.search``,
         ``vector/searcher.py:40-120``): top_k*3 best chunks → per-document
         best-chunk dedupe → top_k.  Result dicts mirror the reference's
-        (path, score, chunk_text, chunk_index, chunk_type)."""
+        (path, score, chunk_text, chunk_index, chunk_type).
+
+        ``method='auto'`` probes the materialized ANN index when one is
+        fresh (build_vector_ann), else exact-scans the live view."""
         from bm25_index_tool_spark.vector import semantic_search_index
 
         self._require(name)
         rows = semantic_search_index(
-            self.spark, self._index_dir(name), query, top_k
+            self.spark, self._index_dir(name), query, top_k,
+            method=method, nprobe=nprobe,
         ).collect()
         return [
             {

@@ -431,12 +431,177 @@ def stage_vector_refresh(
         moves.append((staged, final))
 
 
+# ---------------------------------------------------------------------------
+# ANN over the vector store (the 100-TB semantic-search path)
+#
+# `semantic_search_chunks` over `vector_view` scans EVERY chunk vector —
+# exact, but a full-corpus scan per query.  At scale the standard answer is
+# an inverted-file index over the (immutable) base chunk table, kept
+# LSM-consistent with the store's refresh segments:
+#
+#   candidates = IVF-probe(base, nprobe cells)   — partition-pruned scan
+#                ⟕anti broadcast(vector tombstone paths)   — hides refreshed
+#                                                            /deleted docs
+#                ∪ live refresh-segment rows (delta-sized, brute-forced)
+#
+# The probe is exact IVF-Flat (full vectors stored in the index → exact
+# cosines; only candidate RECALL is approximate, recall→1 as nprobe→m).
+# Appends never touch the ANN index (base is immutable between
+# compactions); `compact_index` rewrites the base, which the recorded
+# os-level fingerprint detects — `method="auto"` then falls back to the
+# exact scan until `build_vector_ann` is re-run, so results are ALWAYS
+# correct, never silently stale.
+# ---------------------------------------------------------------------------
+
+VECTOR_ANN_DIR = "vector_ann"
+
+
+def _vector_base_fingerprint(index_dir: str) -> str:
+    """os-level identity of the base chunk table (relpath, size, mtime of
+    every parquet file) — changes exactly when compaction/rebuild rewrites
+    the base, never on segment appends."""
+    import hashlib
+    import json
+    import os
+
+    root = os.path.join(index_dir, VECTOR_DIR)
+    items = []
+    for dp, _d, fs in os.walk(root):
+        for fn in fs:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dp, fn)
+                st = os.stat(p)
+                items.append(
+                    (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+                )
+    return hashlib.sha256(json.dumps(sorted(items)).encode()).hexdigest()
+
+
+def build_vector_ann(
+    spark,
+    index_dir: str,
+    *,
+    m: int = 64,
+    quantizer: str = "kmeans",
+    seed: int = 42,
+) -> dict:
+    """Materialize an IVF-Flat index over the BASE chunk-vector table:
+    every chunk row tagged with its coarse cell, ``partitionBy(cell)`` so a
+    probe reads exactly nprobe partitions; centroids + the base fingerprint
+    persist in ``_ann_meta.json``.  Re-run after ``compact_index`` (the
+    fingerprint gate makes a stale index fall back to the exact scan)."""
+    import json
+    import os
+
+    from bm25_index_tool_spark.pipeline import simsearch as SS
+
+    base = spark.read.parquet(os.path.join(index_dir, VECTOR_DIR))
+    n = base.count()
+    if n == 0:
+        raise ValueError("vector store is empty; nothing to index")
+    m_eff = max(1, min(m, n))
+    if quantizer == "kmeans":
+        cents = SS.ivf_kmeans_centroids(
+            base, m_eff, vec_col="embedding", seed=seed
+        )
+    elif quantizer == "stride":
+        from pyspark.sql.window import Window
+
+        ided = base.withColumn(
+            "_rid",
+            F.row_number().over(
+                Window.orderBy("path", "chunk_index")
+            ).cast("long"),
+        )
+        cents = SS.ivf_stride_centroids(
+            ided, m_eff, id_col="_rid", vec_col="embedding"
+        )
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r} (kmeans|stride)")
+
+    ann_path = os.path.join(index_dir, VECTOR_ANN_DIR)
+    cols = base.columns
+    (
+        base.select(
+            SS.ivf_cell_col(F.col("embedding"), cents).alias("cell"), *cols
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(ann_path)
+    )
+    meta = {
+        "m": m_eff,
+        "quantizer": quantizer,
+        "seed": seed,
+        "centroids": cents,
+        "base_fingerprint": _vector_base_fingerprint(index_dir),
+        "nprobe_default": max(1, m_eff // 8),
+        "n_chunks": n,
+    }
+    with open(os.path.join(ann_path, "_ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _load_ann_meta(index_dir: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(index_dir, VECTOR_ANN_DIR, "_ann_meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _live_segment_rows(spark, index_dir: str, cols: list[str]):
+    """Live rows of the refresh segments only (base excluded): a segment
+    row survives iff its seg ≥ the path's latest tombstone seg — the same
+    ordering rule as vector_view, restricted to the delta."""
+    from bm25_index_tool_spark import delta_store as DS
+
+    seg = DS._read_all_segments(
+        spark, index_dir, DS.VECTOR_SEG_DIR, keep_seg=True
+    )
+    if seg is None:
+        return None
+    ts = DS._read_all_segments(
+        spark, index_dir, DS.VECTOR_TS_DIR, keep_seg=True
+    )
+    if ts is not None:
+        latest = ts.groupBy("path").agg(
+            F.max(F.col("seg").cast("int")).alias("_ts_seg")
+        )
+        seg = (
+            seg.join(F.broadcast(latest), "path", "left")
+            .where(
+                F.col("_ts_seg").isNull()
+                | (F.col("seg").cast("int") >= F.col("_ts_seg"))
+            )
+            .drop("_ts_seg")
+        )
+    return seg.select(*cols)
+
+
 def semantic_search_index(
-    spark, index_dir: str, query: str, top_k: int = 10, *, dim: int | None = None
+    spark,
+    index_dir: str,
+    query: str,
+    top_k: int = 10,
+    *,
+    dim: int | None = None,
+    method: str = "auto",
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Client entry: embed the query with the SAME embedder that built the
-    store (``vector/_meta.json``), search the live chunk-vector view
-    (base + refresh segments), per-doc dedupe, top-k."""
+    store (``vector/_meta.json``) and search the live chunk-vector view.
+
+    ``method``: 'scan' = exact full scan of base + segments; 'ivf' = probe
+    the materialized ANN index (partition-pruned base candidates ∪ live
+    segment rows — raises if the index is missing or stale); 'auto'
+    (default) = 'ivf' when a FRESH ANN index exists, else 'scan'.  With
+    ``nprobe == m`` the ivf path is result-identical to the scan."""
     import os
 
     path = os.path.join(index_dir, VECTOR_DIR)
@@ -449,6 +614,49 @@ def semantic_search_index(
     qv = embed_query(
         meta["embedder"], query, dim if dim is not None else meta["dim"]
     )
-    return semantic_search_chunks(
-        vector_view(spark, index_dir), qv, top_k, doc_col="path"
+
+    ann = _load_ann_meta(index_dir)
+    fresh = (
+        ann is not None
+        and ann.get("base_fingerprint") == _vector_base_fingerprint(index_dir)
     )
+    if method == "auto":
+        method = "ivf" if fresh else "scan"
+    if method == "scan":
+        return semantic_search_chunks(
+            vector_view(spark, index_dir), qv, top_k, doc_col="path"
+        )
+    if method != "ivf":
+        raise ValueError(f"unknown method {method!r} (auto|scan|ivf)")
+    if ann is None:
+        raise ValueError(
+            f"No ANN index under {index_dir}; build with build_vector_ann"
+        )
+    if not fresh:
+        raise ValueError(
+            "ANN index is stale (vector base rewritten since build_vector_ann"
+            " — e.g. by compact_index); re-run build_vector_ann or use"
+            " method='scan'"
+        )
+
+    from bm25_index_tool_spark import delta_store as DS
+    from bm25_index_tool_spark.pipeline import simsearch as SS
+
+    probe = SS.ivf_probe_cells(
+        qv, ann["centroids"], nprobe if nprobe is not None else ann["nprobe_default"]
+    )
+    cand = (
+        spark.read.parquet(os.path.join(index_dir, VECTOR_ANN_DIR))
+        .where(F.col("cell").isin(probe))
+        .drop("cell")
+    )
+    cols = cand.columns
+    ts = DS._read_all_segments(spark, index_dir, DS.VECTOR_TS_DIR)
+    if ts is not None:  # refreshed/deleted docs: base rows are dead
+        cand = cand.join(
+            F.broadcast(ts.select("path").distinct()), "path", "left_anti"
+        )
+    seg_live = _live_segment_rows(spark, index_dir, cols)
+    if seg_live is not None:
+        cand = cand.unionByName(seg_live)
+    return semantic_search_chunks(cand, qv, top_k, doc_col="path")

@@ -243,3 +243,80 @@ def test_embedder_plugin_seam(spark, tmp_path):
             build_vector_index=True,
         )
     assert "nope" not in EMBEDDERS
+
+
+def test_vector_ann_semantic_search(spark, tmp_path):
+    """IVF ANN over the vector store (the 100-TB semantic path):
+    full-probe ≡ exact scan; partial probe finds the exact-text match;
+    refresh segments are honored WITHOUT an ANN rebuild (base immutable
+    under append updates); compaction staleness falls back to the exact
+    scan and explicit method='ivf' raises until rebuilt."""
+    from bm25_index_tool_spark import corpus as C
+    from bm25_index_tool_spark.client import BM25SparkClient
+
+    hot_old = "benthic oscillation ledger"
+    hot_new = "glowworm cartography almanac"
+    base = C.generate_rows(30, seed=17) + [
+        ("rv", "keep/b.txt", "c1", "txt", hot_old)
+    ]
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "v", spark.createDataFrame(base, C.CORPUS_SCHEMA),
+        num_buckets=4, build_vector_index=True,
+    )
+    idx_dir = client._index_dir("v")
+    meta = client.build_vector_ann("v", m=8)
+    assert meta["m"] == 8 and meta["n_chunks"] > 0
+
+    # full probe is RESULT-IDENTICAL to the exact scan
+    q = "kubernetes networking"
+    scan = V.semantic_search_index(
+        spark, idx_dir, q, 10, method="scan"
+    ).collect()
+    full = V.semantic_search_index(
+        spark, idx_dir, q, 10, method="ivf", nprobe=meta["m"]
+    ).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in scan]
+
+    # partial probe (the default) finds the exact-text match at score 1.0:
+    # an identical embedding lands in the query's own argmax cell
+    top = client.search_semantic("v", hot_old, top_k=1)  # auto → ivf
+    assert top[0]["path"] == "rv/keep/b.txt"
+    assert top[0]["score"] == pytest.approx(1.0)
+
+    # append update: base untouched → ANN stays fresh; new content must be
+    # found (brute-forced segment rows) and old content must be gone
+    # (tombstoned base rows excluded from the probe)
+    cur = [r for r in base if r[1] != "keep/b.txt"] + [
+        ("rv", "keep/b.txt", "c2", "txt", hot_new)
+    ]
+    client.update_index("v", spark.createDataFrame(cur, C.CORPUS_SCHEMA))
+    ann_meta2 = V._load_ann_meta(idx_dir)
+    assert ann_meta2["base_fingerprint"] == V._vector_base_fingerprint(
+        idx_dir
+    ), "append update must not rewrite the vector base"
+    top = client.search_semantic("v", hot_new, top_k=1)
+    assert top[0]["path"] == "rv/keep/b.txt"
+    assert top[0]["score"] == pytest.approx(1.0)
+    gone = V.semantic_search_index(
+        spark, idx_dir, hot_old, 5, method="ivf", nprobe=meta["m"]
+    ).collect()
+    assert all(r["chunk_text"] != hot_old for r in gone)
+
+    # compaction rewrites the base → ANN stale: auto falls back to the
+    # exact scan (correct results), explicit ivf refuses
+    client.compact_index("v")
+    top = client.search_semantic("v", hot_new, top_k=1)
+    assert top[0]["score"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="stale"):
+        V.semantic_search_index(spark, idx_dir, hot_new, 1, method="ivf")
+
+    # rebuild restores the ANN path, again scan-identical at full probe
+    meta3 = client.build_vector_ann("v", m=8)
+    scan2 = V.semantic_search_index(
+        spark, idx_dir, q, 10, method="scan"
+    ).collect()
+    full2 = V.semantic_search_index(
+        spark, idx_dir, q, 10, method="ivf", nprobe=meta3["m"]
+    ).collect()
+    assert [tuple(r) for r in full2] == [tuple(r) for r in scan2]

@@ -295,6 +295,53 @@ def main() -> None:
         ),
     }
 
+    # ---- semantic ANN probe over the vector store ------------------------
+    # build_vector_ann partitions the chunk table by IVF cell; a probe
+    # after an append update must (a) prune to the nprobe cell partitions,
+    # (b) broadcast-anti the tombstoned paths, (c) union the (delta-sized)
+    # live segment rows — never a full-store scan.
+    from bm25_index_tool_spark import vector as V
+
+    lsm_client.create_index(
+        "sem",
+        spark.createDataFrame(C.generate_rows(60, seed=5), C.CORPUS_SCHEMA),
+        num_buckets=4,
+        build_vector_index=True,
+    )
+    sem_dir = lsm_client._index_dir("sem")
+    lsm_client.build_vector_ann("sem", m=6)
+    sem_cur = [
+        (r[0], r[1], r[2], r[3], r[4] + " semedit") if i % 11 == 0 else r
+        for i, r in enumerate(C.generate_rows(60, seed=5))
+    ]
+    lsm_client.update_index(
+        "sem", spark.createDataFrame(sem_cur, C.CORPUS_SCHEMA)
+    )
+    sq = V.semantic_search_index(
+        spark, sem_dir, "kubernetes networking", 10, method="ivf"
+    )
+    sq.collect()
+    sbuf = io.StringIO()
+    with redirect_stdout(sbuf):
+        sq.explain("formatted")
+    splan = sbuf.getvalue()
+    sem_checks = {
+        "ANN probe prunes to nprobe cell partitions "
+        "(PartitionFilters cell IN ...)": (
+            "PartitionFilters" in splan and "cell" in splan
+        ),
+        "tombstoned-path exclusion is a broadcast anti-join": (
+            "LeftAnti" in splan and "BroadcastHashJoin" in splan
+        ),
+        "no cartesian/nested-loop join in the semantic probe": (
+            "CartesianProduct" not in splan
+            and "BroadcastNestedLoopJoin" not in splan
+        ),
+        "top-k fetch is a global sort-limit (TakeOrderedAndProject)": (
+            "TakeOrderedAndProject" in splan
+        ),
+    }
+
     lines = [
         "# PLANS.md — physical-plan audit of the BM25 scorer (plan 1)",
         "",
@@ -325,6 +372,7 @@ def main() -> None:
         ("Dedup hot paths (banded MinHash + n-gram Jaccard, sf0.001)", dedup_checks),
         ("LSM live view (post-append-update scorer plan)", lsm_checks),
         ("Streaming upsert diff (foreachBatch merge, mode=upsert)", upsert_checks),
+        ("Semantic ANN probe (vector_ann, post-append-update)", sem_checks),
     ):
         lines += ["", f"## {title}", "", "| property | present |", "|---|---|"]
         for name, passed in cks.items():
@@ -332,7 +380,7 @@ def main() -> None:
             ok = ok and passed
     checks = {
         **checks, **batch_checks, **ann_checks, **dedup_checks,
-        **lsm_checks, **upsert_checks,
+        **lsm_checks, **upsert_checks, **sem_checks,
     }
     lines += [
         "",
@@ -358,6 +406,12 @@ def main() -> None:
         "",
         "```",
         uplan.strip(),
+        "```",
+        "",
+        "## Semantic ANN probe `explain(\"formatted\")`",
+        "",
+        "```",
+        splan.strip(),
         "```",
     ]
     lines += [
