@@ -49,7 +49,7 @@ def main() -> None:
     partitions = int(os.environ.get("BENCH_PARTITIONS", str(max(cpus, 16))))
     phases = set(
         os.environ.get(
-            "BENCH_PHASES", "build,query,surface,update,wand,wandhot"
+            "BENCH_PHASES", "build,query,surface,update,wand,wandhot,semantic"
         ).split(",")
     )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -294,6 +294,41 @@ def main() -> None:
             phase_load["wand"] = round(os.getloadavg()[0], 2)
             timings["wand_p50"] = round(ls[len(ls) // 2], 3)
             timings["wand_p95"] = round(ls[max(0, int(len(ls) * 0.95) - 1)], 3)
+
+        if "semantic" in phases:
+            # semantic-search scale path: vector store (chunk + embed all
+            # docs), IVF ANN over it, then exact-scan vs ANN-probe latency
+            # on the same queries — the ANN's win is reading nprobe cell
+            # partitions instead of every chunk vector
+            from bm25_index_tool_spark.vector import (
+                build_vector_ann,
+                build_vector_index,
+                semantic_search_index,
+            )
+
+            c0 = _cpu_stat()
+            t = time.monotonic()
+            build_vector_index(spark, idx_dir)
+            timings["vector_store_build"] = round(time.monotonic() - t, 3)
+            t = time.monotonic()
+            build_vector_ann(spark, idx_dir, m=64)
+            timings["vector_ann_build"] = round(time.monotonic() - t, 3)
+            sq = QUERIES[:3]
+            for method, key in (("scan", "semantic_scan_p50"),
+                                ("ivf", "semantic_ivf_p50")):
+                semantic_search_index(
+                    spark, idx_dir, sq[0], 10, method=method
+                ).collect()  # warm
+                lat = []
+                for q in sq:
+                    t = time.monotonic()
+                    semantic_search_index(
+                        spark, idx_dir, q, 10, method=method
+                    ).collect()
+                    lat.append(time.monotonic() - t)
+                timings[key] = round(sorted(lat)[len(lat) // 2], 3)
+            phase_steal["semantic"] = _steal_pct(c0, _cpu_stat())
+            phase_load["semantic"] = round(os.getloadavg()[0], 2)
 
         if "wandhot" in phases:
             # WAND-crossover demo (VERDICT r03 #4): a corpus where every doc
