@@ -231,15 +231,25 @@ def ivf_stride_centroids(
 
 
 def ivf_kmeans_centroids(
-    emb: DataFrame, m: int, *, vec_col: str = "embedding", seed: int = 42
+    emb: DataFrame,
+    m: int,
+    *,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
 ) -> list[list[float]]:
     """Trained coarse quantizer (production path): pyspark.ml KMeans with a
-    fixed seed over the embedding column."""
+    fixed seed over the embedding column.  ``max_iter`` defaults low — a
+    COARSE quantizer only needs cells of roughly balanced occupancy, and
+    recall is controlled by nprobe, not centroid polish; each extra
+    iteration is a full pass over the vectors."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vecs = emb.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=m, seed=seed, featuresCol="features").fit(vecs)
+    model = KMeans(
+        k=m, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(vecs)
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
