@@ -114,6 +114,11 @@ def main(argv: list[str] | None = None) -> int:
         "compact", help="fold LSM update segments back into the base index"
     )
     cp.add_argument("name")
+    cp.add_argument(
+        "--tiered", action="store_true",
+        help="merge the oldest half into one segment instead of the full "
+        "fold (cost proportional to the delta; base untouched)",
+    )
 
     s = sub.add_parser("stats", help="index statistics")
     s.add_argument("name")
@@ -291,8 +296,9 @@ def main(argv: list[str] | None = None) -> int:
         for info in client.list_indices():
             print(f"{info['name']}: {info['file_count']} docs (created {info['created_at']})")
     elif args.cmd == "compact":
-        n = client.compact_index(args.name)
-        print(f"Compacted '{args.name}': folded {n} segment(s)")
+        n = client.compact_index(args.name, tiered=args.tiered)
+        kind = "Tier-merged" if args.tiered else "Compacted"
+        print(f"{kind} '{args.name}': folded {n} segment(s)")
     elif args.cmd == "delete":
         client.delete_index(args.name)
         print(f"Deleted '{args.name}'")

@@ -159,15 +159,25 @@ class BM25SparkClient:
 
         return len(segment_ids(idx_dir))
 
-    def compact_index(self, name: str) -> int:
-        """Fold outstanding LSM update segments into the base tables
-        (delta_store.compact_index); returns the number of segments
-        folded.  No-op when the index has no segments."""
-        from bm25_index_tool_spark.delta_store import compact_index, segment_ids
+    def compact_index(self, name: str, *, tiered: bool = False) -> int:
+        """Fold outstanding LSM update segments; returns the number of
+        segments folded.  Default = FULL fold into the base tables (zero
+        read amplification, O(base) cost — delta_store.compact_index);
+        ``tiered=True`` = merge the oldest half into one segment instead
+        (cost ∝ delta, base untouched — delta_store.merge_segments, the
+        steady-state choice).  No-op when the index has no segments."""
+        from bm25_index_tool_spark.delta_store import (
+            compact_index,
+            merge_segments,
+            segment_ids,
+        )
 
         self._require(name)
-        n = len(segment_ids(self._index_dir(name)))
-        compact_index(self.spark, self._index_dir(name))
+        if tiered:
+            n = merge_segments(self.spark, self._index_dir(name))
+        else:
+            n = len(segment_ids(self._index_dir(name)))
+            compact_index(self.spark, self._index_dir(name))
         self._open.pop(name, None)
         self.cache.clear()
         return n
@@ -459,17 +469,23 @@ class BM25SparkClient:
         ]
 
     def search_semantic_multi(
-        self, names: list[str], query: str, top_k: int = 10
+        self,
+        names: list[str],
+        query: str,
+        top_k: int = 10,
+        *,
+        method: str = "auto",
     ) -> list[dict[str, Any]]:
         """Multi-index semantic search (reference ``VectorSearcher.
         search_multi``, ``vector/searcher.py:120-150``): per-index top_k,
         tag each result with index_name, merge by score desc, limit top_k.
         Indices without a vector store are skipped with no error — the
-        reference logs and continues."""
+        reference logs and continues.  ``method`` is per-index: each index
+        with a fresh ANN index probes it, the rest exact-scan."""
         out: list[dict[str, Any]] = []
         for n in names:
             try:
-                rows = self.search_semantic(n, query, top_k)
+                rows = self.search_semantic(n, query, top_k, method=method)
             except ValueError:
                 continue  # missing index / no vector store — skip
             for r in rows:

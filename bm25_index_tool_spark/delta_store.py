@@ -756,7 +756,9 @@ def merge_segments(
     if upto_seg is None:
         if len(ids) < 2:
             return 0
-        upto_seg = ids[(len(ids) + 1) // 2 - 1]
+        # oldest half, but never a 1-segment no-op: with exactly 2
+        # outstanding segments fold both (read amp 2→1 at delta cost)
+        upto_seg = ids[max(1, (len(ids) + 1) // 2 - 1)]
     folded = [i for i in ids if i <= upto_seg]
     if len(folded) < 2:
         return 0

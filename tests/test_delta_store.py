@@ -622,3 +622,26 @@ def test_append_onto_legacy_flat_docs_table(spark, tmp_path):
         n.startswith("doc_pt=") for n in os.listdir(docs_path)
     )
     _assert_oracle_identical(client, "a", _delta_rows(), QUERIES)
+
+
+def test_client_tiered_compact(spark, tmp_path):
+    """client.compact_index(tiered=True) = merge_segments through the
+    public surface; the default stays the full fold."""
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    rows = _base_rows()[:25]
+    client.create_index(
+        "a", spark.createDataFrame(rows, C.CORPUS_SCHEMA), num_buckets=4
+    )
+    idx_dir = client._index_dir("a")
+    for cur in _waves(rows, 3):
+        DS.apply_update_append(
+            spark, idx_dir, spark.createDataFrame(cur, C.CORPUS_SCHEMA),
+            auto_compact_segments=None,
+        )
+    final = _waves(rows, 3)[-1]
+    assert client.compact_index("a", tiered=True) == 2
+    assert DS.segment_ids(idx_dir) == [2, 3]
+    _assert_oracle_identical(client, "a", final, QUERIES + ["tiermark2"])
+    assert client.compact_index("a") == 2  # full fold
+    assert not DS.has_segments(idx_dir)
+    _assert_oracle_identical(client, "a", final, QUERIES + ["tiermark2"])
