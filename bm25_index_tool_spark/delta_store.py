@@ -88,19 +88,28 @@ LAST_UPDATE_TIMINGS: dict[str, float] = {}
 _STORED_PROJ_CACHE: dict[str, tuple[tuple, DataFrame]] = {}
 
 
-def _index_state_token(index_dir: str):
+def _index_state_token(index_dir: str, spark: SparkSession | None = None):
     from bm25_index_tool_spark import build as B
 
     try:
         st = os.stat(os.path.join(index_dir, B.MANIFEST))
     except FileNotFoundError:
         return None
-    return (st.st_mtime_ns, st.st_size, tuple(segment_ids(index_dir)))
+    # the session id guards against serving a localCheckpoint whose
+    # SparkContext has been stopped (a process that recreates its session
+    # must rebuild the cached projection)
+    try:
+        app = spark.sparkContext.applicationId if spark is not None else (
+            SparkSession.getActiveSession().sparkContext.applicationId
+        )
+    except Exception:
+        app = None
+    return (app, st.st_mtime_ns, st.st_size, tuple(segment_ids(index_dir)))
 
 
 def _stored_projection(spark, index_dir: str, docs: DataFrame) -> DataFrame:
     """Live (full_path, content_md5, doc_id) — cached across updates."""
-    tok = _index_state_token(index_dir)
+    tok = _index_state_token(index_dir, spark)
     hit = _STORED_PROJ_CACHE.get(index_dir)
     if hit is not None and hit[0] == tok:
         return hit[1]
