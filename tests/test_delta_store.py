@@ -645,3 +645,42 @@ def test_client_tiered_compact(spark, tmp_path):
     assert client.compact_index("a") == 2  # full fold
     assert not DS.has_segments(idx_dir)
     _assert_oracle_identical(client, "a", final, QUERIES + ["tiermark2"])
+
+
+def test_upsert_diff_equals_full_diff_minus_deletes(spark):
+    """The broadcast upsert diff (inner + anti) must classify EXACTLY like
+    the full-outer diff with deletions filtered out — differential check on
+    a corpus exercising every status (added / modified / same / deleted),
+    including a path whose content is unchanged (md5-equal)."""
+    stored_rows = [
+        (f"r/p{i}.txt", f"md5_{i}", i + 1) for i in range(20)
+    ]
+    stored = spark.createDataFrame(
+        stored_rows, "full_path string, _s string, doc_id long"
+    )
+    cur_rows = (
+        # 0-9 unchanged, 10-14 modified, 15-19 absent (deleted), 5 added
+        [(f"r/p{i}.txt", f"md5_{i}") for i in range(10)]
+        + [(f"r/p{i}.txt", f"NEW_{i}") for i in range(10, 15)]
+        + [(f"r/new{i}.txt", f"add_{i}") for i in range(5)]
+    )
+    cur = spark.createDataFrame(cur_rows, "full_path string, content_md5 string")
+
+    full = {
+        (r["full_path"], r["status"], r["doc_id"])
+        for r in DS.full_diff_frame(cur, stored)
+        .where(F.col("status") != "deleted")
+        .collect()
+    }
+    ups = {
+        (r["full_path"], r["status"], r["doc_id"])
+        for r in DS.upsert_diff_frame(cur, stored).collect()
+    }
+    assert ups == full
+    assert {s for _, s, _ in ups} == {"added", "modified"}
+    assert sum(1 for _, s, _ in ups if s == "modified") == 5
+    assert sum(1 for _, s, _ in ups if s == "added") == 5
+    # modified rows carry the stored doc_id; added rows carry null
+    assert all(
+        (d is None) == (s == "added") for _, s, d in ups
+    )
