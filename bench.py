@@ -247,9 +247,12 @@ def main() -> None:
                 "content",
                 F.concat_ws(" ", F.col("content"), F.lit("microbatch tick")),
             )
+            c0 = _cpu_stat()
             t = time.monotonic()
             apply_update(spark, idx_dir, batch, mode="upsert")
             timings["upsert_microbatch_100"] = round(time.monotonic() - t, 3)
+            phase_steal["upsert_cold"] = _steal_pct(c0, _cpu_stat())
+            phase_load["upsert_cold"] = round(os.getloadavg()[0], 2)
             from bm25_index_tool_spark.delta_store import (
                 LAST_UPDATE_TIMINGS as _UT,
             )
@@ -262,9 +265,12 @@ def main() -> None:
                 "content",
                 F.concat_ws(" ", F.col("content"), F.lit("tick two")),
             )
+            c0 = _cpu_stat()
             t = time.monotonic()
             apply_update(spark, idx_dir, batch2, mode="upsert")
             timings["upsert_microbatch_warm"] = round(time.monotonic() - t, 3)
+            phase_steal["upsert_warm"] = _steal_pct(c0, _cpu_stat())
+            phase_load["upsert_warm"] = round(os.getloadavg()[0], 2)
             for k2, v2 in _UT.items():
                 timings[f"upsert_warm_{k2}_sec"] = v2
             # tiered merge: fold the two outstanding micro-batch segments

@@ -530,6 +530,7 @@ def apply_update_append(
         .select(*I._CORPUS_COLS)
         .localCheckpoint(eager=True)
     )
+    _mark("delta_scan")  # corpus scan + semi-join, checkpointed delta rows
     delta_full = B.with_derived_columns(
         B.assign_doc_ids(delta_src)
         .withColumn("doc_id", F.col("doc_id") + F.lit(max_id))
