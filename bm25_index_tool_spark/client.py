@@ -46,7 +46,9 @@ class BM25SparkClient:
         self.config = load_config(root_dir)
         self.cache = SearchCache(max_size=self.config.search_cache_size)
         self.history = SearchHistory(spark, os.path.join(root_dir, "_history"))
-        self._open: dict[str, LoadedIndex] = {}
+        # name -> (index version token, handle); _require revalidates the
+        # token per call so out-of-band commits are picked up automatically
+        self._open: dict[str, tuple[tuple, LoadedIndex]] = {}
 
     # -- registry ------------------------------------------------------------
 
@@ -69,12 +71,35 @@ class BM25SparkClient:
     def _index_dir(self, name: str) -> str:
         return os.path.join(self.root, "indices", name)
 
+    def _index_version(self, name: str) -> tuple:
+        """Os-level index version: manifest mtime/size + committed LSM
+        segment ids — the same token discipline as the stored-projection
+        cache (delta_store._index_state_token).  ANY committed write, by
+        this process or another, changes it; stat+listdir cost only."""
+        from bm25_index_tool_spark.delta_store import segment_ids
+
+        idx_dir = self._index_dir(name)
+        try:
+            st = os.stat(os.path.join(idx_dir, B.MANIFEST))
+        except (FileNotFoundError, NotADirectoryError):
+            return (None,)
+        return (st.st_mtime_ns, st.st_size, tuple(segment_ids(idx_dir)))
+
     def _require(self, name: str) -> LoadedIndex:
         if name not in self._read_registry():
             raise ValueError(f"Index '{name}' not found")
-        if name not in self._open:
-            self._open[name] = LoadedIndex.open(self.spark, self._index_dir(name))
-        return self._open[name]
+        ver = self._index_version(name)
+        held = self._open.get(name)
+        # reopen on version change: an out-of-band writer (another client
+        # or process) may have committed — a held handle would keep serving
+        # the old manifest stats (N/avgdl enter every BM25 score) and
+        # pre-commit cached frames
+        if held is None or held[0] != ver:
+            self._open[name] = (
+                ver,
+                LoadedIndex.open(self.spark, self._index_dir(name)),
+            )
+        return self._open[name][1]
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -330,9 +355,17 @@ class BM25SparkClient:
         # include_content is part of the key: cached rows only carry
         # 'content' when it was requested, so a content-less hit must not
         # serve a later include_content=True call (ADVICE r01)
+        # the index version rides in the key: a hit cached before ANY
+        # writer's commit — this process or another — can never be served
+        # afterwards (in-process clears in update/compact/delete remain as
+        # memory hygiene, but correctness no longer depends on them)
         key = SearchCache.make_key(
             [name], query, top_k,
-            {"engine": engine, "include_content": include_content},
+            {
+                "engine": engine,
+                "include_content": include_content,
+                "index_version": list(self._index_version(name)),
+            },
         )
         if cacheable:
             hit = self.cache.get(key)

@@ -363,3 +363,39 @@ def test_search_related(client, spark):
     assert all(r["path"] != src for r in rel)
     with pytest.raises(ValueError, match="not found"):
         client.search_related("m0", "no/such/path.py")
+
+
+def test_out_of_band_update_invalidates_cache_and_handle(spark, client):
+    """A SECOND client on the same root committing an update must be
+    visible to the first client immediately: its search cache must not
+    serve pre-commit hits (the os-level index version rides in the cache
+    key) and its held LoadedIndex must reopen (manifest N/avgdl enter
+    every BM25 score).  The reference is single-process so it can rely on
+    in-process clears; a shared index root cannot."""
+    rows = C.generate_rows(50, seed=31)
+    client.create_index(
+        "oob", spark.createDataFrame(rows, C.CORPUS_SCHEMA), num_buckets=4
+    )
+    before = client.search("oob", "data value", top_k=5)
+    assert client.search("oob", "data value", top_k=5) == before  # cached
+    n_docs_before = client._require("oob").manifest.num_docs
+
+    other = BM25SparkClient(client.spark, client.root)
+    extra = C.generate_rows(55, seed=31)[50:]
+    for r in extra:
+        assert r not in rows
+    new_rows = rows + [
+        (r[0], r[1], r[2], r[3], r[4] + " oobmarker fresh") for r in extra
+    ]
+    other.update_index(
+        "oob", spark.createDataFrame(new_rows, C.CORPUS_SCHEMA)
+    )
+
+    # first client: handle revalidates (num_docs advanced), cache misses
+    assert client._require("oob").manifest.num_docs == n_docs_before + 5
+    hit = client.search("oob", "oobmarker", top_k=5)
+    assert len(hit) == 5
+    # and the pre-commit cached entry for the old query is not served:
+    # scores reflect the new N/avgdl, not the cached pre-update rows
+    after = client.search("oob", "data value", top_k=5)
+    assert after != before
