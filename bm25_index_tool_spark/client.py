@@ -95,11 +95,19 @@ class BM25SparkClient:
         # the old manifest stats (N/avgdl enter every BM25 score) and
         # pre-commit cached frames
         if held is None or held[0] != ver:
+            self._drop_open(name)  # unpersist a preloaded stale handle
             self._open[name] = (
                 ver,
                 LoadedIndex.open(self.spark, self._index_dir(name)),
             )
         return self._open[name][1]
+
+    def _drop_open(self, name: str) -> None:
+        """Forget a held handle, unpersisting any preload()ed frames —
+        popping without unload would leak executor cache blocks."""
+        held = self._open.pop(name, None)
+        if held is not None:
+            held[1].unload()
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -155,7 +163,7 @@ class BM25SparkClient:
             "bm25_params": manifest.params.__dict__,
         }
         self._write_registry(reg)
-        self._open.pop(name, None)
+        self._drop_open(name)
         return manifest
 
     @traced("client.update_index")
@@ -174,7 +182,7 @@ class BM25SparkClient:
         reg = self._read_registry()
         reg[name]["file_count"] = manifest.num_docs
         self._write_registry(reg)
-        self._open.pop(name, None)
+        self._drop_open(name)
         self.cache.clear()
         return manifest
 
@@ -203,7 +211,7 @@ class BM25SparkClient:
         else:
             n = len(segment_ids(self._index_dir(name)))
             compact_index(self.spark, self._index_dir(name))
-        self._open.pop(name, None)
+        self._drop_open(name)
         self.cache.clear()
         return n
 
@@ -213,7 +221,7 @@ class BM25SparkClient:
             raise ValueError(f"Index '{name}' not found")
         del reg[name]
         self._write_registry(reg)
-        self._open.pop(name, None)
+        self._drop_open(name)
         from bm25_index_tool_spark.delta_store import (
             invalidate_stored_projection,
         )
