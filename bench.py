@@ -49,7 +49,8 @@ def main() -> None:
     partitions = int(os.environ.get("BENCH_PARTITIONS", str(max(cpus, 16))))
     phases = set(
         os.environ.get(
-            "BENCH_PHASES", "build,query,surface,update,wand,wandhot,semantic"
+            "BENCH_PHASES",
+            "build,query,identity,surface,update,wand,wandhot,semantic",
         ).split(",")
     )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -205,6 +206,55 @@ def main() -> None:
             timings["query_warm_p50"] = round(ws[len(ws) // 2], 3)
             timings["query_warm_p95"] = round(ws[max(0, int(len(ws) * 0.95) - 1)], 3)
             index.unload()
+
+        identity_out: dict = {}
+        if "identity" in phases and n_files <= int(
+            os.environ.get("BENCH_IDENTITY_MAX", "80000")
+        ):
+            # north-rule headline metric, measured in-artifact: top-k
+            # rank-identity rate vs the reference's physical engine (SQLite
+            # FTS5 bm25()) on the reference query set over THIS corpus —
+            # the same differential oracle the test suite locks semantics
+            # against (tests/oracle.py), plus the per-row sha256(content)
+            # invariant.  Driver-side oracle cost is reported separately
+            # and excluded from the suite total; gated off above
+            # BENCH_IDENTITY_MAX files (SQLite insert is O(N) driver work).
+            import hashlib as _hashlib
+            import math as _math
+            import sys as _sys
+
+            _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tests.oracle import FTS5Oracle
+            from bm25_index_tool_spark.corpus import ordered_rows
+
+            t = time.monotonic()
+            rows = [
+                (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+                for r in corpus.collect()
+            ]
+            oracle = FTS5Oracle()
+            oracle.add_documents(ordered_rows(rows))
+            oracle_sec = round(time.monotonic() - t, 3)
+            ok = 0
+            for q in QUERIES:
+                exp = oracle.search_bm25(q, top_k=10)
+                got = score_query(index, q, 10).collect()
+                ident = (
+                    [g["doc_id"] for g in got] == [e[0] for e in exp]
+                    and all(
+                        _math.isclose(e[4], g["score"], rel_tol=1e-9)
+                        and g["path"] == e[1]
+                        and g["content_sha256"]
+                        == _hashlib.sha256(e[3].encode()).hexdigest()
+                        for e, g in zip(exp, got)
+                    )
+                )
+                ok += ident
+            identity_out = {
+                "rank_identity_rate": round(ok / len(QUERIES), 4),
+                "rank_identity_queries": len(QUERIES),
+                "rank_identity_oracle_sec": oracle_sec,
+            }
 
         if "update" in phases:
             # TRUE-delta incremental update: ~1% of documents modified.
@@ -430,6 +480,7 @@ def main() -> None:
                 "phase_steal_pct": phase_steal,
                 "phase_load": phase_load,
                 "body_x": body_x,
+                **identity_out,
             }
         )
     )
