@@ -41,9 +41,12 @@ immutable and scattered in-place edits are the enemy.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
+import threading
+import time as _time_mod
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -66,6 +69,120 @@ _SEG_DIRS = (
     VECTOR_SEG_DIR,
     VECTOR_TS_DIR,
 )
+
+# ---------------------------------------------------------------------------
+# Inter-process write lock
+#
+# Every writer reads shared mutable state before committing — the manifest's
+# next_doc_id high-water mark and max(segment_ids) — and stages to a single
+# journal path.  Two concurrent writers (a streaming ingest job plus a
+# manual `compact`, or two update processes) would mint colliding doc_ids /
+# segment numbers and clobber each other's journal.  An advisory flock on
+# <index_dir>/_write.lock serializes them across processes; an RLock keyed
+# by dir makes it reentrant in-process (apply_update_append auto-compacts
+# via merge_segments/compact_index while already holding the lock) and
+# serializes threads of one process.  Readers never take it: they only see
+# committed state through atomic os.replace.
+# ---------------------------------------------------------------------------
+WRITE_LOCK_FILE = "_write.lock"
+
+
+class _DirWriteLock:
+    def __init__(self, lock_path: str):
+        self._path = lock_path
+        self._rlock = threading.RLock()
+        self._depth = 0
+        self._fd: int | None = None
+
+    def acquire(self, timeout: float | None) -> None:
+        if not self._rlock.acquire(
+            timeout=-1 if timeout is None else timeout
+        ):
+            raise TimeoutError(
+                f"another thread holds the write lock ({self._path}); "
+                "retry or raise BM25_WRITE_LOCK_TIMEOUT"
+            )
+        try:
+            if self._depth == 0:
+                import fcntl
+
+                os.makedirs(os.path.dirname(self._path), exist_ok=True)
+                fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
+                deadline = (
+                    None if timeout is None
+                    else _time_mod.monotonic() + timeout
+                )
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except (BlockingIOError, PermissionError):
+                        if (
+                            deadline is not None
+                            and _time_mod.monotonic() >= deadline
+                        ):
+                            os.close(fd)
+                            raise TimeoutError(
+                                "another writer holds the write lock "
+                                f"({self._path}); retry or raise "
+                                "BM25_WRITE_LOCK_TIMEOUT"
+                            )
+                        _time_mod.sleep(0.1)
+                self._fd = fd
+            self._depth += 1
+        except BaseException:
+            self._rlock.release()
+            raise
+
+    def release(self) -> None:
+        self._depth -= 1
+        if self._depth == 0 and self._fd is not None:
+            import fcntl
+
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
+        self._rlock.release()
+
+    def __enter__(self):
+        self.acquire(_lock_timeout())
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+
+
+_DIR_LOCKS: dict[str, _DirWriteLock] = {}
+_DIR_LOCKS_GUARD = threading.Lock()
+
+
+def _lock_timeout() -> float | None:
+    v = os.environ.get("BM25_WRITE_LOCK_TIMEOUT")
+    return float(v) if v else None
+
+
+def write_lock(index_dir: str) -> _DirWriteLock:
+    """The write lock for one index dir (context manager)."""
+    key = os.path.abspath(index_dir)
+    with _DIR_LOCKS_GUARD:
+        lock = _DIR_LOCKS.get(key)
+        if lock is None:
+            lock = _DIR_LOCKS[key] = _DirWriteLock(
+                os.path.join(key, WRITE_LOCK_FILE)
+            )
+        return lock
+
+
+def _locked_writer(fn):
+    """Decorator for ``fn(spark, index_dir, ...)`` writer entry points."""
+
+    @functools.wraps(fn)
+    def wrapper(spark, index_dir, *a, **kw):
+        with write_lock(index_dir):
+            return fn(spark, index_dir, *a, **kw)
+
+    return wrapper
+
 
 # per-section wall times of the most recent apply_update_append on this
 # driver — bench.py copies them out (update_diff_sec etc.) so the fixed-
@@ -425,6 +542,7 @@ def upsert_diff_frame(cur: DataFrame, stored: DataFrame) -> DataFrame:
     return modified.unionByName(added)
 
 
+@_locked_writer
 def apply_update_append(
     spark: SparkSession,
     index_dir: str,
@@ -732,6 +850,7 @@ def apply_update_append(
 # ---------------------------------------------------------------------------
 
 
+@_locked_writer
 def merge_segments(
     spark: SparkSession, index_dir: str, upto_seg: int | None = None
 ) -> int:
@@ -875,6 +994,7 @@ def merge_segments(
     return len(folded)
 
 
+@_locked_writer
 def compact_index(spark: SparkSession, index_dir: str) -> None:
     """Materialize the live views as new base tables and drop the segment
     dirs — the same partitioned-write job shapes as the full build's write

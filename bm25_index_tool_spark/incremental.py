@@ -262,6 +262,21 @@ def recover_if_needed(spark: SparkSession, index_dir: str) -> bool:
     return True
 
 
+def _locked(fn):
+    """Serialize against other index writers (delta_store.write_lock)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, index_dir, *a, **kw):
+        from bm25_index_tool_spark.delta_store import write_lock
+
+        with write_lock(index_dir):
+            return fn(spark, index_dir, *a, **kw)
+
+    return wrapper
+
+
+@_locked
 def apply_update(
     spark: SparkSession,
     index_dir: str,

@@ -271,6 +271,21 @@ def semantic_search_chunks(
 VECTOR_DIR = "vector"
 
 
+def _locked(fn):
+    """Serialize against other index writers (delta_store.write_lock)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, index_dir, *a, **kw):
+        from bm25_index_tool_spark.delta_store import write_lock
+
+        with write_lock(index_dir):
+            return fn(spark, index_dir, *a, **kw)
+
+    return wrapper
+
+
+@_locked
 def build_vector_index(
     spark,
     index_dir: str,
@@ -477,6 +492,7 @@ def _vector_base_fingerprint(index_dir: str) -> str:
     return hashlib.sha256(json.dumps(sorted(items)).encode()).hexdigest()
 
 
+@_locked
 def build_vector_ann(
     spark,
     index_dir: str,

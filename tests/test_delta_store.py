@@ -684,3 +684,76 @@ def test_upsert_diff_equals_full_diff_minus_deletes(spark):
     assert all(
         (d is None) == (s == "added") for _, s, d in ups
     )
+
+
+def test_write_lock_reentrant_threads_and_processes(tmp_path, monkeypatch):
+    """The advisory writer lock: reentrant for one thread (the
+    auto-compaction path acquires it recursively), exclusive across
+    threads and processes.  Two unserialized writers would both read the
+    same next_doc_id HWM / max segment id and corrupt the index."""
+    import subprocess
+    import sys
+    import textwrap
+    import threading
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    lock_path = os.path.join(d, DS.WRITE_LOCK_FILE)
+
+    # reentrant: nested acquisition by the same thread must not deadlock
+    with DS.write_lock(d):
+        with DS.write_lock(d):
+            assert os.path.exists(lock_path)
+
+    # cross-thread: held by thread A -> B times out
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with DS.write_lock(d):
+            entered.set()
+            release.wait(10)
+
+    th = threading.Thread(target=holder, daemon=True)
+    th.start()
+    assert entered.wait(10)
+    monkeypatch.setenv("BM25_WRITE_LOCK_TIMEOUT", "0.3")
+    with pytest.raises(TimeoutError):
+        with DS.write_lock(d):
+            pass
+    release.set()
+    th.join(10)
+    # and acquirable again once released
+    with DS.write_lock(d):
+        pass
+
+    # cross-process: a child process holding flock blocks this process
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            textwrap.dedent(
+                f"""
+                import fcntl, os, sys, time
+                fd = os.open({lock_path!r}, os.O_CREAT | os.O_RDWR)
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                print("locked", flush=True)
+                time.sleep(30)
+                """
+            ),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert child.stdout.readline().strip() == "locked"
+        with pytest.raises(TimeoutError):
+            with DS.write_lock(d):
+                pass
+    finally:
+        child.kill()
+        child.wait()
+    # released by child death -> acquirable
+    monkeypatch.delenv("BM25_WRITE_LOCK_TIMEOUT")
+    with DS.write_lock(d):
+        pass
