@@ -167,6 +167,21 @@ def main() -> None:
                 if k.endswith("_sec") and k != "duration_sec":
                     timings[f"build_stage_{stage}_{k}"] = v
 
+        # storage footprint — the reference's comparable table row is
+        # 31 MB / 2,176 files ≈ 14 KB per doc (content + SQLite index);
+        # ours is zstd parquet postings/docs/termstats + checkpoints
+        idx_bytes = 0
+        for dp, _dn, fns in os.walk(idx_dir):
+            for fn in fns:
+                try:
+                    idx_bytes += os.path.getsize(os.path.join(dp, fn))
+                except OSError:
+                    pass
+        index_out = {
+            "index_bytes_total": idx_bytes,
+            "index_bytes_per_doc": round(idx_bytes / n_files, 1),
+        }
+
         index = LoadedIndex.open(spark, idx_dir)
 
         if "query" in phases:
@@ -480,6 +495,7 @@ def main() -> None:
                 "phase_steal_pct": phase_steal,
                 "phase_load": phase_load,
                 "body_x": body_x,
+                **index_out,
                 **identity_out,
             }
         )

@@ -395,20 +395,26 @@ def build_index(
             raise ValueError(
                 f"Duplicate document path in corpus: {r['repo']}/{r['path']}"
             )
-    return _build(
-        spark,
-        corpus,
-        index_dir,
-        name=name,
-        tokenizer_profile=tokenizer_profile,
-        params=params,
-        num_buckets=num_buckets,
-        num_partitions=num_partitions,
-        resume=resume,
-        fail_after_stage=fail_after_stage,
-        source=source,
-        ids_preassigned=False,
-    )
+    # serialize with any concurrent updater/compactor on the same dir —
+    # create --overwrite racing an update would interleave their staged
+    # writes (delta_store.write_lock; reentrant, advisory, cross-process)
+    from bm25_index_tool_spark.delta_store import write_lock
+
+    with write_lock(index_dir):
+        return _build(
+            spark,
+            corpus,
+            index_dir,
+            name=name,
+            tokenizer_profile=tokenizer_profile,
+            params=params,
+            num_buckets=num_buckets,
+            num_partitions=num_partitions,
+            resume=resume,
+            fail_after_stage=fail_after_stage,
+            source=source,
+            ids_preassigned=False,
+        )
 
 
 def rebuild_from_identified(
