@@ -385,6 +385,7 @@ def main() -> None:
             build_vector_ann(spark, idx_dir, m=64)
             timings["vector_ann_build"] = round(time.monotonic() - t, 3)
             sq = QUERIES[:3]
+            results: dict[str, list] = {"scan": [], "ivf": []}
             for method, key in (("scan", "semantic_scan_p50"),
                                 ("ivf", "semantic_ivf_p50")):
                 semantic_search_index(
@@ -393,11 +394,22 @@ def main() -> None:
                 lat = []
                 for q in sq:
                     t = time.monotonic()
-                    semantic_search_index(
+                    rows = semantic_search_index(
                         spark, idx_dir, q, 10, method=method
                     ).collect()
                     lat.append(time.monotonic() - t)
+                    results[method].append({r["path"] for r in rows})
                 timings[key] = round(sorted(lat)[len(lat) // 2], 3)
+            # ANN quality alongside its speed: recall@10 of the IVF probe
+            # vs the exact scan on the same queries (1.0 = probes covered
+            # every true neighbor's cell)
+            rec = [
+                len(s & i) / max(len(s), 1)
+                for s, i in zip(results["scan"], results["ivf"])
+            ]
+            index_out["semantic_ivf_recall_at_10"] = round(
+                sum(rec) / len(rec), 3
+            )
             phase_steal["semantic"] = _steal_pct(c0, _cpu_stat())
             phase_load["semantic"] = round(os.getloadavg()[0], 2)
 
