@@ -402,7 +402,12 @@ def main() -> None:
                 timings[key] = round(sorted(lat)[len(lat) // 2], 3)
             # ANN quality alongside its speed: recall@10 of the IVF probe
             # vs the exact scan on the same queries (1.0 = probes covered
-            # every true neighbor's cell)
+            # every true neighbor's cell).  The deterministic fake embedder
+            # yields near-uniform vectors — IVF's worst case (neighbors
+            # spread evenly over cells, so recall ≈ nprobe/m); sweep nprobe
+            # to show the recall/cost curve rather than one point.  Real
+            # clustered embeddings sit far above this floor at equal nprobe
+            # (test_pipeline's clustered fixture gates recall ≥ 0.9).
             rec = [
                 len(s & i) / max(len(s), 1)
                 for s, i in zip(results["scan"], results["ivf"])
@@ -410,6 +415,24 @@ def main() -> None:
             index_out["semantic_ivf_recall_at_10"] = round(
                 sum(rec) / len(rec), 3
             )
+            from bm25_index_tool_spark.vector import _load_ann_meta
+
+            _ann = _load_ann_meta(idx_dir)
+            m_cells = len(_ann["centroids"])
+            index_out["semantic_ivf_nprobe_default"] = _ann["nprobe_default"]
+            index_out["semantic_ivf_cells"] = m_cells
+            for frac, npr in (("quarter", m_cells // 4), ("half", m_cells // 2)):
+                hits = []
+                for qi, q in enumerate(sq):
+                    rows = semantic_search_index(
+                        spark, idx_dir, q, 10, method="ivf", nprobe=npr
+                    ).collect()
+                    got = {r["path"] for r in rows}
+                    s = results["scan"][qi]
+                    hits.append(len(s & got) / max(len(s), 1))
+                index_out[f"semantic_ivf_recall_nprobe_{frac}"] = round(
+                    sum(hits) / len(hits), 3
+                )
             phase_steal["semantic"] = _steal_pct(c0, _cpu_stat())
             phase_load["semantic"] = round(os.getloadavg()[0], 2)
 
