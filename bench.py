@@ -421,7 +421,8 @@ def main() -> None:
             m_cells = len(_ann["centroids"])
             index_out["semantic_ivf_nprobe_default"] = _ann["nprobe_default"]
             index_out["semantic_ivf_cells"] = m_cells
-            for frac, npr in (("quarter", m_cells // 4), ("half", m_cells // 2)):
+            # default is m/4 — sweep one point below and one above it
+            for frac, npr in (("eighth", m_cells // 8), ("half", m_cells // 2)):
                 hits = []
                 for qi, q in enumerate(sq):
                     rows = semantic_search_index(
