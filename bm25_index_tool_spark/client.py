@@ -109,6 +109,37 @@ class BM25SparkClient:
         if held is not None:
             held[1].unload()
 
+    # a scan can race a FULL compaction's base-directory swap: the version
+    # check passed, but the swap landed before the job listed/read the old
+    # parquet files (README "concurrency"; append commits are additive and
+    # never trigger this).  Spark surfaces it as a FileNotFoundException
+    # (classic) or a PATH_NOT_FOUND/FILE_NOT_FOUND error class (4.x).
+    _STALE_SCAN_MARKERS = (
+        "FileNotFoundException",
+        "PATH_NOT_FOUND",
+        "FILE_NOT_FOUND",
+        "underlying files have been updated",
+    )
+
+    def _run_with_reopen(self, names: list[str], fn, attempts: int = 2):
+        """Run ``fn`` (which must resolve its handles via ``_require`` on
+        every call), retrying once after dropping the named handles if the
+        scan failed against swapped-out files.  The reopen re-stats the
+        manifest and re-lists segments, so the retry sees the committed
+        post-compaction state; any other failure propagates unchanged."""
+        while True:
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 — filtered by marker below
+                attempts -= 1
+                msg = str(e)
+                if attempts <= 0 or not any(
+                    m in msg for m in self._STALE_SCAN_MARKERS
+                ):
+                    raise
+                for n in names:
+                    self._drop_open(n)
+
     # -- lifecycle -----------------------------------------------------------
 
     @traced("client.create_index")
@@ -381,21 +412,24 @@ class BM25SparkClient:
                 return hit
 
         t0 = time.monotonic()
-        idx = self._require(name)
         need_content = include_content or fragments
-        if engine == "blocks":
-            from bm25_index_tool_spark.wand import wand_search
 
-            base = wand_search(idx, query, top_k)
-            if need_content:
-                base = base.join(
-                    idx.docs().select("doc_id", "content"), "doc_id"
-                ).orderBy(F.desc("score"), F.asc("doc_id"))
-            rows = base.collect()
-        else:
-            rows = score_query(
+        def _rows():
+            idx = self._require(name)
+            if engine == "blocks":
+                from bm25_index_tool_spark.wand import wand_search
+
+                base = wand_search(idx, query, top_k)
+                if need_content:
+                    base = base.join(
+                        idx.docs().select("doc_id", "content"), "doc_id"
+                    ).orderBy(F.desc("score"), F.asc("doc_id"))
+                return base.collect()
+            return score_query(
                 idx, query, top_k, include_content=need_content
             ).collect()
+
+        rows = self._run_with_reopen([name], _rows)
         results = []
         for r in rows:
             d: dict[str, Any] = {
@@ -439,22 +473,28 @@ class BM25SparkClient:
         per-index over-fetch ``fetch_k = max(100, 3*top_k)``, silently skip
         failing indices, fuse with the chosen strategy."""
         fetch_k = fusion.fetch_k_for(top_k)
-        per_index = []
-        used = []
-        for n in names:
-            try:
-                idx = self._require(n)
-                df = score_query(idx, query, fetch_k, include_content=False)
-                per_index.append(df.select("doc_id", "path", "filename", "score"))
-                used.append(n)
-            except ValueError:
-                continue  # reference silently skips failing indices (:147-149)
-        if not per_index:
+
+        def _rows():
+            per_index = []
+            for n in names:
+                try:
+                    idx = self._require(n)
+                    df = score_query(idx, query, fetch_k, include_content=False)
+                    per_index.append(
+                        df.select("doc_id", "path", "filename", "score")
+                    )
+                except ValueError:
+                    # reference silently skips failing indices (:147-149)
+                    continue
+            if not per_index:
+                return None
+            return fusion.merge(
+                merge_strategy, per_index, top_k, **(merge_params or {})
+            ).collect()
+
+        rows = self._run_with_reopen(list(names), _rows)
+        if rows is None:
             return []
-        merged = fusion.merge(
-            merge_strategy, per_index, top_k, **(merge_params or {})
-        )
-        rows = merged.collect()
         return [
             {
                 "path": r["path"],
@@ -493,11 +533,14 @@ class BM25SparkClient:
         fresh (build_vector_ann), else exact-scans the live view."""
         from bm25_index_tool_spark.vector import semantic_search_index
 
-        self._require(name)
-        rows = semantic_search_index(
-            self.spark, self._index_dir(name), query, top_k,
-            method=method, nprobe=nprobe,
-        ).collect()
+        def _rows():
+            self._require(name)
+            return semantic_search_index(
+                self.spark, self._index_dir(name), query, top_k,
+                method=method, nprobe=nprobe,
+            ).collect()
+
+        rows = self._run_with_reopen([name], _rows)
         return [
             {
                 "path": r["path"],
@@ -538,8 +581,12 @@ class BM25SparkClient:
     def search_related(
         self, name: str, source_path: str, top_k: int = 10
     ) -> list[dict[str, Any]]:
-        idx = self._require(name)
-        rows = _search_related(idx, source_path, top_k).collect()
+        rows = self._run_with_reopen(
+            [name],
+            lambda: _search_related(
+                self._require(name), source_path, top_k
+            ).collect(),
+        )
         return [
             {
                 "path": r["path"],
