@@ -43,15 +43,49 @@ class LoadedIndex:
     """Handle to an on-disk index: manifest + lazily-read DataFrames."""
 
     index_dir: str
-    manifest: B.IndexManifest
+    _manifest: B.IndexManifest
     spark: SparkSession
 
     _cached: dict | None = None
     _frames: dict = field(default_factory=dict)
+    _version: tuple | None = None
 
     @classmethod
     def open(cls, spark: SparkSession, index_dir: str) -> "LoadedIndex":
-        return cls(index_dir=index_dir, manifest=B.load_manifest(index_dir), spark=spark)
+        from bm25_index_tool_spark.delta_store import _index_state_token
+
+        return cls(
+            index_dir=index_dir,
+            _manifest=B.load_manifest(index_dir),
+            spark=spark,
+            _version=_index_state_token(index_dir, spark),
+        )
+
+    @property
+    def manifest(self) -> B.IndexManifest:
+        """Manifest of the LIVE committed index version — accessing it
+        revalidates the handle, because N/avgdl/k1/b enter every BM25
+        score and are typically captured before the first table read."""
+        self._revalidate()
+        return self._manifest
+
+    def _revalidate(self) -> None:
+        """Drop memoized/preloaded frames (and reload the manifest) if the
+        index was committed to since this handle last read it.  The token
+        is manifest stat + committed segment ids — the same discipline as
+        client._index_version — so the check costs one stat + one listdir,
+        and a handle held across an in-process update/compaction (e.g.
+        bench.py's) always serves the live committed index instead of a
+        pinned pre-swap file listing (or silently stale N/avgdl)."""
+        from bm25_index_tool_spark.delta_store import _index_state_token
+
+        ver = _index_state_token(self.index_dir, self.spark)
+        if ver == self._version:
+            return
+        self.unload()
+        self._frames.clear()
+        self._manifest = B.load_manifest(self.index_dir)
+        self._version = ver
 
     def _read(self, sub: str) -> DataFrame:
         """Live view of one index table: the base parquet dir, composed
@@ -61,13 +95,14 @@ class LoadedIndex:
 
         The composed DataFrame is memoized per handle: its file listing and
         parquet footer schema are resolved once, not per query (~0.1s/table
-        of interactive latency).  Safe because the on-disk file set for one
-        committed index version is immutable — any commit changes the
-        os-level version token and the client reopens the handle; a scan
-        racing a full compaction's base swap is caught and retried by
+        of interactive latency).  The memo is guarded by _revalidate(): the
+        on-disk file set for one committed index version is immutable, and
+        any commit changes the version token.  A scan racing a concurrent
+        writer's full-compaction base swap is caught and retried by
         ``client._run_with_reopen``."""
         import os
 
+        self._revalidate()
         if self._cached is not None and sub in self._cached:
             return self._cached[sub]
         if sub in self._frames:

@@ -757,3 +757,51 @@ def test_write_lock_reentrant_threads_and_processes(tmp_path, monkeypatch):
     monkeypatch.delenv("BM25_WRITE_LOCK_TIMEOUT")
     with DS.write_lock(d):
         pass
+
+
+def test_stale_handle_revalidates_across_update_and_compaction(spark, tmp_path):
+    """A LoadedIndex held across in-process commits (bench.py's lifecycle:
+    open → append update → FULL compaction → query again) must serve the
+    live index: the memoized file listing would otherwise pin the swapped-
+    out base dirs (FAILED_READ_FILE) and the captured manifest would keep
+    stale N/avgdl in every score."""
+    from bm25_index_tool_spark.blocks import build_blocks
+    from bm25_index_tool_spark.incremental import apply_update
+    from bm25_index_tool_spark.score import LoadedIndex, score_query
+    from bm25_index_tool_spark.wand import wand_search
+
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "h", spark.createDataFrame(_base_rows(), C.CORPUS_SCHEMA), num_buckets=8
+    )
+    idx_dir = client._index_dir("h")
+    build_blocks(spark, idx_dir)
+
+    held = LoadedIndex.open(spark, idx_dir)
+    score_query(held, "apple", 5, include_content=False).collect()
+    wand_search(held, "apple", 5).collect()
+    n0 = held.manifest.num_docs
+
+    cur = spark.createDataFrame(_delta_rows(), C.CORPUS_SCHEMA)
+    apply_update(spark, idx_dir, cur)  # LSM append: new segments
+    DS.compact_index(spark, idx_dir)  # base-directory swap
+    build_blocks(spark, idx_dir)
+
+    # the held handle must see the committed version, not the pinned one
+    assert held.manifest.num_docs == N0 + 1 != n0
+    fresh = LoadedIndex.open(spark, idx_dir)
+    for q in QUERIES:
+        got = [
+            (r["path"], round(r["score"], 9))
+            for r in score_query(held, q, 10, include_content=False).collect()
+        ]
+        exp = [
+            (r["path"], round(r["score"], 9))
+            for r in score_query(fresh, q, 10, include_content=False).collect()
+        ]
+        assert got == exp, q
+        got_w = [
+            (r["path"], round(r["score"], 9))
+            for r in wand_search(held, q, 10).collect()
+        ]
+        assert got_w == exp, q
