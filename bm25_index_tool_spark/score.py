@@ -151,7 +151,16 @@ class LoadedIndex:
         """Pin postings/termstats (optionally docs) in executor cache — the
         warm-query path (reference's in-process index stays resident; here
         the analogue is Spark's columnar cache).  Repeated queries skip the
-        parquet scan entirely."""
+        parquet scan entirely.
+
+        Only worth it while the deserialized columnar cache FITS in storage
+        memory: the cache expands far beyond the zstd parquet footprint, and
+        once it spills, cached scans lose to the cold path's bucket-pruned
+        parquet read (measured at 5.12M files / 1.2 GB index: warm p50 14.9s
+        vs cold 6.6s — BENCH/r04_scale_5m.json; at 40k files warm ≈ cold).
+        At cluster scale prefer the cold path + OS page cache for large
+        indexes; preload is for the many-small-indexes regime the reference
+        tool actually serves."""
         self._cached = {}
         subs = [B.POSTINGS_DIR, B.TERMSTATS_DIR] + (
             [B.DOCS_DIR] if include_docs else []
