@@ -176,18 +176,7 @@ def blocks_from_sorted_batch(terms, doc_ids, tfs, dls, block_size: int = BLOCK_S
     )
 
 
-def _locked(fn):
-    """Serialize against other index writers (delta_store.write_lock)."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapper(spark, index_dir, *a, **kw):
-        from bm25_index_tool_spark.delta_store import write_lock
-
-        with write_lock(index_dir):
-            return fn(spark, index_dir, *a, **kw)
-
-    return wrapper
+from bm25_index_tool_spark.delta_store import _locked_writer as _locked
 
 
 @_locked

@@ -111,6 +111,22 @@ def load_manifest(index_dir: str) -> IndexManifest:
         return IndexManifest.from_json(f.read())
 
 
+def save_manifest(index_dir: str, manifest_json: str) -> None:
+    """Commit the manifest atomically (tmp + fsync + os.replace).  An
+    in-place truncate-and-write would let a concurrent reader — every
+    query revalidates the handle against the manifest stat — load a torn
+    or empty file; the os.replace guarantees readers only ever see a
+    complete committed manifest, matching the rename discipline every
+    other index file already follows."""
+    path = os.path.join(index_dir, MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(manifest_json)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic doc_id assignment — scalable (no global single-partition sort)
 # ---------------------------------------------------------------------------
@@ -694,6 +710,5 @@ def _build(
         # assign_doc_ids is 1-based contiguous → first free id is N+1
         next_doc_id=int(num_docs) + 1,
     )
-    with open(os.path.join(index_dir, MANIFEST), "w") as f:
-        f.write(manifest.to_json())
+    save_manifest(index_dir, manifest.to_json())
     return manifest

@@ -259,6 +259,17 @@ class BM25SparkClient:
 
         invalidate_stored_projection(self._index_dir(name))
         shutil.rmtree(self._index_dir(name), ignore_errors=True)
+        # the write lock lives as a sibling of the index dir (so an
+        # overwrite build's rmtree can't unlink a held inode) — drop it
+        # with the index
+        from bm25_index_tool_spark.delta_store import WRITE_LOCK_SUFFIX
+
+        try:
+            os.remove(
+                os.path.abspath(self._index_dir(name)) + WRITE_LOCK_SUFFIX
+            )
+        except FileNotFoundError:
+            pass
         self.cache.clear()
 
     def list_indices(self) -> list[dict]:

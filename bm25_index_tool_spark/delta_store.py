@@ -78,13 +78,16 @@ _SEG_DIRS = (
 # journal path.  Two concurrent writers (a streaming ingest job plus a
 # manual `compact`, or two update processes) would mint colliding doc_ids /
 # segment numbers and clobber each other's journal.  An advisory flock on
-# <index_dir>/_write.lock serializes them across processes; an RLock keyed
+# a SIBLING file <index_dir>.write.lock serializes them across processes —
+# sibling, not inside the dir, because an overwrite build rmtree()s the
+# index dir and unlinking a held lock inode would let a second writer
+# flock a fresh inode and proceed concurrently.  An RLock keyed
 # by dir makes it reentrant in-process (apply_update_append auto-compacts
 # via merge_segments/compact_index while already holding the lock) and
 # serializes threads of one process.  Readers never take it: they only see
 # committed state through atomic os.replace.
 # ---------------------------------------------------------------------------
-WRITE_LOCK_FILE = "_write.lock"
+WRITE_LOCK_SUFFIX = ".write.lock"
 
 
 class _DirWriteLock:
@@ -95,6 +98,12 @@ class _DirWriteLock:
         self._fd: int | None = None
 
     def acquire(self, timeout: float | None) -> None:
+        # ONE deadline spans the RLock wait AND the flock poll — computing
+        # a fresh deadline after the RLock wait would let the total block
+        # for up to 2x the configured timeout
+        deadline = (
+            None if timeout is None else _time_mod.monotonic() + timeout
+        )
         if not self._rlock.acquire(
             timeout=-1 if timeout is None else timeout
         ):
@@ -108,10 +117,6 @@ class _DirWriteLock:
 
                 os.makedirs(os.path.dirname(self._path), exist_ok=True)
                 fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
-                deadline = (
-                    None if timeout is None
-                    else _time_mod.monotonic() + timeout
-                )
                 while True:
                     try:
                         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
@@ -167,8 +172,11 @@ def write_lock(index_dir: str) -> _DirWriteLock:
     with _DIR_LOCKS_GUARD:
         lock = _DIR_LOCKS.get(key)
         if lock is None:
+            # sibling of the index dir: survives an overwrite build's
+            # rmtree(index_dir), so the flock inode is never unlinked
+            # while held
             lock = _DIR_LOCKS[key] = _DirWriteLock(
-                os.path.join(key, WRITE_LOCK_FILE)
+                key.rstrip(os.sep) + WRITE_LOCK_SUFFIX
             )
         return lock
 
@@ -455,8 +463,7 @@ def recover_segments_if_needed(spark: SparkSession, index_dir: str) -> bool:
             os.replace(staged, final)
         elif os.path.isdir(staged):
             shutil.rmtree(staged, ignore_errors=True)
-    with open(os.path.join(index_dir, B.MANIFEST), "w") as f:
-        f.write(j["manifest_json"])
+    B.save_manifest(index_dir, j["manifest_json"])
     if j.get("blocks_stale") and os.path.exists(
         os.path.join(index_dir, B.BLOCKS_DIR)
     ):
@@ -815,8 +822,7 @@ def apply_update_append(
 
     for staged, final in moves:
         os.replace(staged, final)
-    with open(os.path.join(index_dir, B.MANIFEST), "w") as f:
-        f.write(new_manifest.to_json())
+    B.save_manifest(index_dir, new_manifest.to_json())
 
     if os.path.exists(os.path.join(index_dir, B.BLOCKS_DIR)):
         from bm25_index_tool_spark.blocks import update_blocks

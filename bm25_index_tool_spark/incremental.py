@@ -241,8 +241,7 @@ def recover_if_needed(spark: SparkSession, index_dir: str) -> bool:
         )
     _ensure_nonempty_partitioned(spark, docs_path, "doc_pt", docs_schema)
 
-    with open(os.path.join(index_dir, B.MANIFEST), "w") as f:
-        f.write(j["manifest_json"])
+    B.save_manifest(index_dir, j["manifest_json"])
 
     if j.get("blocks_stale") and os.path.exists(
         os.path.join(index_dir, B.BLOCKS_DIR)
@@ -262,18 +261,7 @@ def recover_if_needed(spark: SparkSession, index_dir: str) -> bool:
     return True
 
 
-def _locked(fn):
-    """Serialize against other index writers (delta_store.write_lock)."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapper(spark, index_dir, *a, **kw):
-        from bm25_index_tool_spark.delta_store import write_lock
-
-        with write_lock(index_dir):
-            return fn(spark, index_dir, *a, **kw)
-
-    return wrapper
+from bm25_index_tool_spark.delta_store import _locked_writer as _locked
 
 
 @_locked
@@ -628,8 +616,7 @@ def apply_update(
         _swap_partitions(docs_path, tmp_docs, "doc_pt", changed_pts)
     _ensure_nonempty_partitioned(spark, docs_path, "doc_pt", docs_schema)
 
-    with open(os.path.join(index_dir, B.MANIFEST), "w") as f:
-        f.write(new_manifest.to_json())
+    B.save_manifest(index_dir, new_manifest.to_json())
 
     if os.path.exists(os.path.join(index_dir, B.BLOCKS_DIR)):
         # fixed-span doc sharding (blocks_meta shard_span) keeps shard

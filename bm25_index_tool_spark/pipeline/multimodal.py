@@ -89,9 +89,14 @@ def _real_decode(payload: bytes, kind: str) -> tuple[int, int, int, str]:
     from PIL import Image  # resolved only when the caller verified import
 
     if kind != "image":
+        # NB: raised inside an executor task at ACTION time (the driver
+        # cannot inspect distributed column values up front), so Spark
+        # will retry the task before failing the job — pre-filter mixed
+        # batches to kind == 'image' to avoid paying that
         raise NotImplementedError(
             f"real decode for kind={kind!r} requires ffmpeg/soundfile "
-            "(not installed here)"
+            "(not installed here); filter to kind == 'image' before "
+            "decode_image_batch, or pass deterministic_fake=True"
         )
     with Image.open(io.BytesIO(payload)) as img:
         width, height = img.size
@@ -110,6 +115,12 @@ def decode_image_batch(
     importable (images only); otherwise this raises NotImplementedError —
     the decode libraries are not present in this environment.  Both paths
     share the same mapInPandas plumbing, batch shape and FEATURES_SCHEMA.
+
+    With the real decoder, rows whose ``kind`` is not ``'image'`` raise
+    NotImplementedError inside executor tasks at action time (audio/video
+    need ffmpeg-class libs): the driver-side probe can only gate on
+    library availability, not on distributed column values — filter to
+    ``kind == 'image'`` first when the input may hold mixed media.
     """
     if deterministic_fake:
         decode = _fake_decode

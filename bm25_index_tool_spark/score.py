@@ -161,15 +161,35 @@ class LoadedIndex:
         At cluster scale prefer the cold path + OS page cache for large
         indexes; preload is for the many-small-indexes regime the reference
         tool actually serves."""
-        self._cached = {}
         subs = [B.POSTINGS_DIR, B.TERMSTATS_DIR] + (
             [B.DOCS_DIR] if include_docs else []
         )
-        for sub in subs:
-            df = self._read(sub).cache()  # live view (incl. segments)
-            df.count()  # materialize
-            self._cached[sub] = df
-        return self
+        # build locally and install at the end: _read -> _revalidate may
+        # reset _cached to None mid-loop if a commit lands during preload
+        # (assigning into self._cached directly would TypeError).  If the
+        # version token moved while materializing, the dict would mix two
+        # index versions — retry against the newly-committed state; a
+        # commit after installation is handled by the next read's
+        # revalidation.
+        for _attempt in range(3):
+            self._revalidate()
+            v0 = self._version
+            cached: dict = {}
+            for sub in subs:
+                df = self._read(sub).cache()  # live view (incl. segments)
+                df.count()  # materialize
+                cached[sub] = df
+            from bm25_index_tool_spark.delta_store import _index_state_token
+
+            if _index_state_token(self.index_dir, self.spark) == v0:
+                self._cached = cached
+                return self
+            for df in cached.values():
+                df.unpersist()
+        raise RuntimeError(
+            "index is being committed to faster than preload can "
+            f"materialize it ({self.index_dir}); retry when writes settle"
+        )
 
     def unload(self) -> None:
         for df in (self._cached or {}).values():

@@ -271,18 +271,7 @@ def semantic_search_chunks(
 VECTOR_DIR = "vector"
 
 
-def _locked(fn):
-    """Serialize against other index writers (delta_store.write_lock)."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapper(spark, index_dir, *a, **kw):
-        from bm25_index_tool_spark.delta_store import write_lock
-
-        with write_lock(index_dir):
-            return fn(spark, index_dir, *a, **kw)
-
-    return wrapper
+from bm25_index_tool_spark.delta_store import _locked_writer as _locked
 
 
 @_locked
@@ -471,6 +460,15 @@ def stage_vector_refresh(
 VECTOR_ANN_DIR = "vector_ann"
 
 
+# fingerprint memo keyed by the cheap os-level index-state token (manifest
+# stat + segment ids): `method="auto"` consults the fingerprint on EVERY
+# semantic query, and re-walking + stat'ing the whole base chunk table per
+# query is thousands of driver-side syscalls at scale.  The token changes
+# on any commit (slightly over-invalidating — segment appends don't move
+# the base), so the walk runs once per commit instead of once per query.
+_FP_CACHE: dict[str, tuple] = {}
+
+
 def _vector_base_fingerprint(index_dir: str) -> str:
     """os-level identity of the base chunk table (relpath, size, mtime of
     every parquet file) — changes exactly when compaction/rebuild rewrites
@@ -478,6 +476,13 @@ def _vector_base_fingerprint(index_dir: str) -> str:
     import hashlib
     import json
     import os
+
+    from bm25_index_tool_spark.delta_store import _index_state_token
+
+    tok = _index_state_token(index_dir)
+    hit = _FP_CACHE.get(index_dir)
+    if hit is not None and hit[0] == tok and tok is not None:
+        return hit[1]
 
     root = os.path.join(index_dir, VECTOR_DIR)
     items = []
@@ -489,7 +494,9 @@ def _vector_base_fingerprint(index_dir: str) -> str:
                 items.append(
                     (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
                 )
-    return hashlib.sha256(json.dumps(sorted(items)).encode()).hexdigest()
+    fp = hashlib.sha256(json.dumps(sorted(items)).encode()).hexdigest()
+    _FP_CACHE[index_dir] = (tok, fp)
+    return fp
 
 
 @_locked

@@ -698,7 +698,7 @@ def test_write_lock_reentrant_threads_and_processes(tmp_path, monkeypatch):
 
     d = str(tmp_path / "idx")
     os.makedirs(d)
-    lock_path = os.path.join(d, DS.WRITE_LOCK_FILE)
+    lock_path = os.path.abspath(d) + DS.WRITE_LOCK_SUFFIX
 
     # reentrant: nested acquisition by the same thread must not deadlock
     with DS.write_lock(d):
@@ -805,3 +805,81 @@ def test_stale_handle_revalidates_across_update_and_compaction(spark, tmp_path):
             for r in wand_search(held, q, 10).collect()
         ]
         assert got_w == exp, q
+
+
+def test_write_lock_is_sibling_and_survives_overwrite_build(spark, tmp_path):
+    """The flock file lives OUTSIDE the index dir: an overwrite build
+    rmtree()s the index dir, and unlinking a held lock inode would let a
+    second writer flock a fresh inode and run concurrently."""
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    corpus = spark.createDataFrame(_base_rows(), C.CORPUS_SCHEMA)
+    client.create_index("lk", corpus, num_buckets=8)
+    idx_dir = client._index_dir("lk")
+    lock_path = os.path.abspath(idx_dir) + DS.WRITE_LOCK_SUFFIX
+
+    with DS.write_lock(idx_dir):
+        assert os.path.exists(lock_path)
+        ino_before = os.stat(lock_path).st_ino
+        assert not os.path.exists(os.path.join(idx_dir, "_write.lock"))
+        # reentrant in-process: the overwrite build takes the same lock,
+        # rmtree()s the index dir, and must NOT touch the lock inode
+        client.create_index("lk", corpus, num_buckets=8, overwrite=True)
+        assert os.stat(lock_path).st_ino == ino_before
+
+    client.delete_index("lk")
+    assert not os.path.exists(lock_path)  # sibling cleaned up with the index
+
+
+def test_manifest_commit_is_atomic_rename(spark, tmp_path):
+    """Manifest commits go through tmp + os.replace — no truncate window a
+    revalidating reader could observe as a torn/empty file."""
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "mf", spark.createDataFrame(_base_rows(), C.CORPUS_SCHEMA), num_buckets=8
+    )
+    idx_dir = client._index_dir("mf")
+    ino0 = os.stat(os.path.join(idx_dir, B.MANIFEST)).st_ino
+    from bm25_index_tool_spark.incremental import apply_update
+
+    apply_update(
+        spark, idx_dir, spark.createDataFrame(_delta_rows(), C.CORPUS_SCHEMA)
+    )
+    st = os.stat(os.path.join(idx_dir, B.MANIFEST))
+    assert st.st_ino != ino0  # replaced, not truncated in place
+    assert not os.path.exists(os.path.join(idx_dir, B.MANIFEST + ".tmp"))
+    assert B.load_manifest(idx_dir).num_docs == N0 + 1
+
+
+def test_preload_after_out_of_band_commit(spark, tmp_path):
+    """preload() on a handle that missed a commit must not crash (the
+    mid-loop revalidation resets _cached to None) and must pin the LIVE
+    version."""
+    from bm25_index_tool_spark.incremental import apply_update
+    from bm25_index_tool_spark.score import LoadedIndex, score_query
+
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "pl", spark.createDataFrame(_base_rows(), C.CORPUS_SCHEMA), num_buckets=8
+    )
+    idx_dir = client._index_dir("pl")
+    held = LoadedIndex.open(spark, idx_dir)
+    score_query(held, "apple", 3, include_content=False).collect()
+
+    apply_update(
+        spark, idx_dir, spark.createDataFrame(_delta_rows(), C.CORPUS_SCHEMA)
+    )
+    held.preload()  # TypeError'd before the local-dict fix
+    try:
+        assert held.manifest.num_docs == N0 + 1
+        fresh = LoadedIndex.open(spark, idx_dir)
+        got = [
+            (r["path"], round(r["score"], 9))
+            for r in score_query(held, "xylograph", 10, include_content=False).collect()
+        ]
+        exp = [
+            (r["path"], round(r["score"], 9))
+            for r in score_query(fresh, "xylograph", 10, include_content=False).collect()
+        ]
+        assert got == exp
+    finally:
+        held.unload()
