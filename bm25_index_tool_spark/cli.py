@@ -93,6 +93,11 @@ def main(argv: list[str] | None = None) -> int:
         help="auto picks blocks when the index's max posting-list length "
         "crosses the WAND crossover (wand_df_threshold in config.toml)",
     )
+    q.add_argument(
+        "--explain", action="store_true",
+        help="print the compiled Spark physical plan for this query "
+        "(bucket pruning / broadcasts / top-k operator) instead of running it",
+    )
     q.add_argument("--related-to", default=None, help="find docs related to this path instead")
     q.add_argument("--semantic", action="store_true", help="chunk-level semantic search (needs create --vector)")
 
@@ -248,6 +253,14 @@ def main(argv: list[str] | None = None) -> int:
         *names, query = args.names
         if not names:
             p.error("usage: query <index...> <query>")
+        if args.explain:
+            print(
+                client.explain_search(
+                    names[0], query, args.top, engine=args.engine
+                )
+            )
+            _stop(client)
+            return 0
         if args.semantic:
             if len(names) == 1:
                 results = client.search_semantic(names[0], query, args.top)

@@ -367,6 +367,43 @@ class BM25SparkClient:
 
     # -- search --------------------------------------------------------------
 
+    def explain_search(
+        self,
+        name: str,
+        query: str,
+        top_k: int = 10,
+        *,
+        engine: str = "auto",
+        mode: str = "formatted",
+    ) -> str:
+        """The compiled physical plan for EXACTLY the DataFrame ``search``
+        would execute (auto engine resolution included), without running
+        it.  Plan transparency is how this engine is audited at scale —
+        the bucket-pruned scan, broadcast joins and TakeOrderedAndProject
+        are the contract (PLANS.md); this surfaces the same evidence for
+        any live index + query.  ``mode``: formatted | simple | extended |
+        cost | codegen (Spark ExplainMode)."""
+        if engine == "auto":
+            from bm25_index_tool_spark.wand import choose_engine
+
+            engine = choose_engine(
+                self._index_dir(name),
+                df_threshold=self.config.extras.get("wand_df_threshold"),
+            )
+        idx = self._require(name)
+        if engine == "blocks":
+            from bm25_index_tool_spark.wand import wand_search
+
+            df = wand_search(idx, query, top_k)
+        else:
+            df = score_query(idx, query, top_k, include_content=False)
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                mode
+            )
+        )
+        return f"-- engine: {engine}\n{plan}"
+
     @traced("client.search")
     def search(
         self,

@@ -399,3 +399,16 @@ def test_out_of_band_update_invalidates_cache_and_handle(spark, client):
     # scores reflect the new N/avgdl, not the cached pre-update rows
     after = client.search("oob", "data value", top_k=5)
     assert after != before
+
+
+def test_explain_search_surfaces_plan_contract(client):
+    """--explain returns the compiled physical plan for the exact search
+    DataFrame: the top-k operator and the bucket-pruned postings scan must
+    be visible (the PLANS.md contract, per live index + query)."""
+    plan = client.explain_search("inc", "apple data", 10)
+    assert plan.startswith("-- engine: ")
+    assert "TakeOrderedAndProject" in plan
+    assert "PartitionFilters" in plan  # bucket pruning reached the scan
+    # nothing was executed: explain on a bogus-but-tokenizable query also works
+    plan2 = client.explain_search("inc", "zzzznonexistent", 3, engine="join")
+    assert "== Physical Plan ==" in plan2
