@@ -117,22 +117,28 @@ class _DirWriteLock:
 
                 os.makedirs(os.path.dirname(self._path), exist_ok=True)
                 fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
-                while True:
-                    try:
-                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                        break
-                    except (BlockingIOError, PermissionError):
-                        if (
-                            deadline is not None
-                            and _time_mod.monotonic() >= deadline
-                        ):
-                            os.close(fd)
-                            raise TimeoutError(
-                                "another writer holds the write lock "
-                                f"({self._path}); retry or raise "
-                                "BM25_WRITE_LOCK_TIMEOUT"
-                            )
-                        _time_mod.sleep(0.1)
+                try:
+                    while True:
+                        try:
+                            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                            break
+                        except (BlockingIOError, PermissionError):
+                            if (
+                                deadline is not None
+                                and _time_mod.monotonic() >= deadline
+                            ):
+                                raise TimeoutError(
+                                    "another writer holds the write lock "
+                                    f"({self._path}); retry or raise "
+                                    "BM25_WRITE_LOCK_TIMEOUT"
+                                )
+                            _time_mod.sleep(0.1)
+                except BaseException:
+                    # close on ANY failure (timeout, EINTR, ENOLCK on
+                    # network mounts) — a long-lived retrying driver
+                    # would otherwise leak one fd per attempt
+                    os.close(fd)
+                    raise
                 self._fd = fd
             self._depth += 1
         except BaseException:
@@ -506,14 +512,27 @@ def full_diff_frame(cur: DataFrame, stored: DataFrame) -> DataFrame:
     deletion — a full-outer join on the narrow (full_path, md5)
     projections.  Both sides are corpus-sized; the shuffle is inherent to
     full-snapshot semantics (the reference diffs the same way)."""
+    # presence must be judged by SIDE markers, not md5 nullness: the
+    # streaming corpus schema allows NULL content (md5(NULL) = NULL), so
+    # a stored NULL-md5 doc re-presented with real content would read as
+    # "added" (minting a second live doc_id for the path) and a current
+    # NULL-content row as "deleted".  doc_id is never NULL on the stored
+    # side; the literal flag marks the current side; eqNullSafe makes the
+    # modified test NULL-correct (NULL vs NULL = same, NULL vs real =
+    # modified).
     return (
-        cur.select("full_path", "content_md5")
+        cur.select(
+            "full_path", "content_md5", F.lit(True).alias("_cur_present")
+        )
         .join(stored, "full_path", "full_outer")
         .withColumn(
             "status",
-            F.when(F.col("_s").isNull(), F.lit("added"))
-            .when(F.col("content_md5").isNull(), F.lit("deleted"))
-            .when(F.col("content_md5") != F.col("_s"), F.lit("modified"))
+            F.when(F.col("doc_id").isNull(), F.lit("added"))
+            .when(F.col("_cur_present").isNull(), F.lit("deleted"))
+            .when(
+                ~F.col("content_md5").eqNullSafe(F.col("_s")),
+                F.lit("modified"),
+            )
             .otherwise(F.lit("same")),
         )
         .where(F.col("status") != "same")
@@ -532,7 +551,9 @@ def upsert_diff_frame(cur: DataFrame, stored: DataFrame) -> DataFrame:
     cur_sel = cur.select("full_path", "content_md5")
     matched = stored.join(F.broadcast(cur_sel), "full_path", "inner")
     modified = (
-        matched.where(F.col("content_md5") != F.col("_s"))
+        # eqNullSafe: the stream schema allows NULL content, and a plain
+        # != would silently drop a NULL→real-content update as "same"
+        matched.where(~F.col("content_md5").eqNullSafe(F.col("_s")))
         .select("full_path", F.lit("modified").alias("status"), "doc_id")
     )
     id_type = dict(stored.dtypes)["doc_id"]

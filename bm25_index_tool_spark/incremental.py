@@ -77,7 +77,10 @@ def detect_changes(current: DataFrame, stored_docs: DataFrame) -> ChangeSet:
     )
     modified = (
         cur.join(stored, "full_path")
-        .where(F.col("content_md5") != F.col("_stored_md5"))
+        # eqNullSafe: the streaming corpus schema allows NULL content
+        # (md5(NULL) = NULL) — a plain != would evaluate to NULL and
+        # silently drop a NULL→real-content update as unchanged
+        .where(~F.col("content_md5").eqNullSafe(F.col("_stored_md5")))
         .drop("_stored_md5")
     )
     return ChangeSet(added=added, modified=modified, deleted=deleted)
@@ -300,6 +303,16 @@ def apply_update(
     from bm25_index_tool_spark import build as B
     from bm25_index_tool_spark import delta_store as DS
 
+    # validate the bucket-layout request BEFORE strategy dispatch — the
+    # append branch never reaches the merge path's check, and a silently
+    # ignored num_buckets would hide layout drift from the caller
+    if num_buckets:
+        nb0 = B.load_manifest(index_dir).num_buckets
+        if num_buckets != nb0:
+            raise ValueError(
+                f"bucket layout is fixed at build time ({nb0}); "
+                "rebuild to change it"
+            )
     if strategy == "append":
         return DS.apply_update_append(
             spark, index_dir, current, mode=mode,
@@ -333,6 +346,17 @@ def apply_update(
         changes = detect_changes(current, docs)
     else:
         raise ValueError(f"unknown update mode {mode!r} (full|upsert)")
+    # materialize the (delta-sized) diff ONCE: counts, the dup guard, the
+    # removed-id/path derivations and the delta union all consume these
+    # frames, and the lazy plans would re-run the corpus-vs-docs diff
+    # joins for every consumer — roughly 7 full scans per update before
+    # staging started.  The append strategy already follows this
+    # single-checkpoint discipline (delta_store.apply_update_append).
+    changes = ChangeSet(
+        added=changes.added.localCheckpoint(eager=True),
+        modified=changes.modified.localCheckpoint(eager=True),
+        deleted=changes.deleted.localCheckpoint(eager=True),
+    )
     counts = changes.counts()
     if all(v == 0 for v in counts.values()):
         return manifest
@@ -400,32 +424,11 @@ def apply_update(
         .localCheckpoint(eager=True)
     )
 
-    # tokenize ONLY the delta (arrow C++ fast path for the default profile)
-    parallelism = spark.sparkContext.defaultParallelism
-    repart = delta_full.repartition(parallelism, "doc_id")
-    from bm25_index_tool_spark.arrow_tokenize import ARROW_PROFILES
-
-    if manifest.tokenizer_profile in ARROW_PROFILES:
-        from bm25_index_tool_spark.arrow_tokenize import doc_term_freqs
-
-        tfs = doc_term_freqs(  # dl included
-            repart, B._fts_document(), profile=manifest.tokenizer_profile
-        )
-    else:
-        from pyspark.sql.window import Window
-
-        from bm25_index_tool_spark.tokenize import tokenizer_for
-
-        tok = tokenizer_for(manifest.tokenizer_profile)
-        tfs = (
-            repart.select("doc_id", F.explode(tok(B._fts_document())).alias("term"))
-            .groupBy("doc_id", "term")
-            .agg(F.count("*").cast("int").alias("tf"))
-            .withColumn(
-                "dl",
-                F.sum("tf").over(Window.partitionBy("doc_id")).cast("int"),
-            )
-        )
+    # tokenize ONLY the delta — the SAME pipeline as the append strategy
+    # (arrow C++ fast path for arrow-capable profiles, explode/window
+    # fallback otherwise); one shared implementation keeps the two
+    # strategies' rebuild-equivalence invariant from silently diverging
+    tfs = DS._tokenize_rows(spark, delta_full, manifest.tokenizer_profile)
 
     delta_post = tfs.withColumn(
         "bucket", F.pmod(F.hash("term"), F.lit(nb))

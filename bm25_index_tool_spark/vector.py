@@ -333,6 +333,22 @@ def build_vector_index(
     }
     with open(os.path.join(out_path, "_meta.json"), "w") as f:
         json.dump(meta, f)
+    # the new base was built from the LIVE view (base ∪ segments ⟖
+    # tombstones), so outstanding vector segments are now folded in —
+    # leaving them would duplicate every segment chunk on the next scan
+    # (and an old tombstone would kill the fresh base rows of a modified
+    # doc).  Clearing them is safe under the write lock; a crash between
+    # the base write and these removes only re-creates the pre-existing
+    # duplicate window, which re-running the build heals.
+    import shutil
+
+    for seg_root in (DS.VECTOR_SEG_DIR, DS.VECTOR_TS_DIR):
+        shutil.rmtree(os.path.join(index_dir, seg_root), ignore_errors=True)
+    # a rebuild changes the base without touching the manifest/segments,
+    # so the memoized fingerprint (keyed by the index-state token) would
+    # go stale in THIS process — drop it; other processes see the change
+    # through the _meta.json stat in the memo key
+    _FP_CACHE.pop(index_dir, None)
     return meta
 
 
@@ -479,9 +495,18 @@ def _vector_base_fingerprint(index_dir: str) -> str:
 
     from bm25_index_tool_spark.delta_store import _index_state_token
 
-    tok = _index_state_token(index_dir)
+    # the index-state token alone misses a vector-base REBUILD
+    # (build_vector_index rewrites vector/ without touching the manifest
+    # or segments) — _meta.json is rewritten by every rebuild, so its
+    # stat in the key catches rebuilds from other processes too
+    try:
+        mst = os.stat(os.path.join(index_dir, VECTOR_DIR, "_meta.json"))
+        meta_stat = (mst.st_mtime_ns, mst.st_size)
+    except OSError:
+        meta_stat = None
+    tok = (_index_state_token(index_dir), meta_stat)
     hit = _FP_CACHE.get(index_dir)
-    if hit is not None and hit[0] == tok and tok is not None:
+    if hit is not None and hit[0] == tok and tok[0] is not None:
         return hit[1]
 
     root = os.path.join(index_dir, VECTOR_DIR)

@@ -883,3 +883,81 @@ def test_preload_after_out_of_band_commit(spark, tmp_path):
         assert got == exp
     finally:
         held.unload()
+
+
+def test_diff_frames_null_md5_classification(spark):
+    """NULL content (allowed by the streaming corpus schema; md5(NULL) is
+    NULL) must classify by PRESENCE, null-safely: stored-NULL → real is
+    modified (not re-added), real → NULL is modified (not a deletion),
+    NULL → NULL is unchanged."""
+    stored = spark.createDataFrame(
+        [("a/x", None, 1), ("a/y", "h2", 2), ("a/z", None, 3), ("a/gone", "h4", 4)],
+        "full_path string, _s string, doc_id int",
+    )
+    cur = spark.createDataFrame(
+        [("a/x", "h1"), ("a/y", None), ("a/z", None), ("a/new", None)],
+        "full_path string, content_md5 string",
+    )
+    got = {
+        r["full_path"]: r["status"]
+        for r in DS.full_diff_frame(cur, stored).collect()
+    }
+    assert got == {
+        "a/x": "modified",   # NULL -> real content
+        "a/y": "modified",   # real -> NULL content (NOT deleted)
+        "a/gone": "deleted",  # genuinely absent from cur
+        "a/new": "added",     # genuinely new (even with NULL content)
+    }  # a/z NULL -> NULL: unchanged, absent
+
+    up = {
+        r["full_path"]: r["status"]
+        for r in DS.upsert_diff_frame(cur, stored).collect()
+    }
+    assert up == {"a/x": "modified", "a/y": "modified", "a/new": "added"}
+
+
+def test_null_content_update_end_to_end(spark, tmp_path):
+    """A stored NULL-content doc updated with real content must become
+    searchable with ONE live row (pre-fix: classified 'added', minting a
+    second doc_id the tombstones never retire)."""
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    rows = _base_rows()
+    v1 = rows + [("org9", "nul/doc.py", "c1", "python", None)]
+    client.create_index(
+        "nc", spark.createDataFrame(v1, C.CORPUS_SCHEMA), num_buckets=8
+    )
+    idx_dir = client._index_dir("nc")
+    from bm25_index_tool_spark.incremental import apply_update
+    from bm25_index_tool_spark.score import LoadedIndex
+
+    v2 = rows + [("org9", "nul/doc.py", "c2", "python", "zanzibar nulltest")]
+    apply_update(spark, idx_dir, spark.createDataFrame(v2, C.CORPUS_SCHEMA))
+
+    docs = LoadedIndex.open(spark, idx_dir).docs()
+    live = docs.where(docs.full_path == "org9/nul/doc.py").collect()
+    assert len(live) == 1, "one live row per path"
+    got = client.search("nc", "nulltest", top_k=5, use_cache=False)
+    assert [r["path"] for r in got] == ["org9/nul/doc.py"]
+
+    # and back to NULL: modified again (dl -> path/filename tokens only)
+    apply_update(spark, idx_dir, spark.createDataFrame(v1, C.CORPUS_SCHEMA))
+    assert client.search("nc", "nulltest", top_k=5, use_cache=False) == []
+    docs2 = LoadedIndex.open(spark, idx_dir).docs()
+    assert docs2.where(docs2.full_path == "org9/nul/doc.py").count() == 1
+
+
+def test_num_buckets_validated_on_append_strategy(spark, tmp_path):
+    """The layout check must fire on the DEFAULT strategy too, not only
+    merge."""
+    from bm25_index_tool_spark.incremental import apply_update
+
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "nbv", spark.createDataFrame(_base_rows(), C.CORPUS_SCHEMA), num_buckets=8
+    )
+    cur = spark.createDataFrame(_delta_rows(), C.CORPUS_SCHEMA)
+    with pytest.raises(ValueError, match="fixed at build time"):
+        apply_update(
+            spark, client._index_dir("nbv"), cur,
+            num_buckets=16, strategy="append",
+        )

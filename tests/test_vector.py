@@ -320,3 +320,53 @@ def test_vector_ann_semantic_search(spark, tmp_path):
         spark, idx_dir, q, 10, method="ivf", nprobe=meta3["m"]
     ).collect()
     assert [tuple(r) for r in full2] == [tuple(r) for r in scan2]
+
+
+def test_vector_rebuild_clears_segments_and_fingerprint(spark, tmp_path):
+    """Re-running build_vector_index folds the live view (base ∪ segments)
+    into a NEW base: outstanding vector segments/tombstones must be
+    cleared (else every segment chunk appears twice and an old tombstone
+    kills the fresh rows of a modified doc), and the memoized base
+    fingerprint must change so the ANN staleness check sees the rebuild."""
+    import os
+
+    from bm25_index_tool_spark import corpus as C
+    from bm25_index_tool_spark import delta_store as DS
+    from bm25_index_tool_spark import vector as V
+    from bm25_index_tool_spark.client import BM25SparkClient
+    from bm25_index_tool_spark.incremental import apply_update
+
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    rows = C.generate_rows(20, seed=17)
+    client.create_index(
+        "rvx", spark.createDataFrame(rows, C.CORPUS_SCHEMA),
+        num_buckets=4, build_vector_index=True,
+    )
+    idx_dir = client._index_dir("rvx")
+    fp0 = V._vector_base_fingerprint(idx_dir)
+
+    # append update: 1 modified + 1 added -> vector segments appear
+    r2 = [
+        (r[0], r[1], r[2], r[3], r[4] + " rebuilt xylograph")
+        if i == 3 else r
+        for i, r in enumerate(rows)
+    ] + C.generate_rows(21, seed=17)[20:]
+    apply_update(
+        spark, idx_dir, spark.createDataFrame(r2, C.CORPUS_SCHEMA),
+        auto_compact_segments=None,
+    )
+    assert os.path.isdir(os.path.join(idx_dir, DS.VECTOR_SEG_DIR))
+
+    V.build_vector_index(spark, idx_dir)
+    assert not os.path.isdir(os.path.join(idx_dir, DS.VECTOR_SEG_DIR))
+    assert not os.path.isdir(os.path.join(idx_dir, DS.VECTOR_TS_DIR))
+    assert V._vector_base_fingerprint(idx_dir) != fp0
+
+    view = V.vector_view(spark, idx_dir)
+    dup = (
+        view.groupBy("path", "chunk_index").count().where("count > 1").count()
+    )
+    assert dup == 0, "rebuild must not duplicate segment chunks"
+    # the modified doc's NEW content chunks survive (no stale tombstone)
+    live = view.where(view.chunk_text.contains("rebuilt xylograph")).count()
+    assert live >= 1
