@@ -225,6 +225,7 @@ def build_blocks(
     )
     result = encoded.mapInArrow(_encode_with_shard, "shard int, " + BLOCKS_SCHEMA)
     result.write.mode("overwrite").partitionBy("shard").parquet(blocks_path)
+    _ensure_readable_blocks(spark, blocks_path)
 
     n_blocks = spark.read.parquet(blocks_path).count()
     # longest posting list — the engine auto-selection stat (wand.py
@@ -265,18 +266,30 @@ def _decode_to_postings(batches):
         terms = b.column(b.schema.get_field_index("term")).to_pylist()
         ns = b.column(b.schema.get_field_index("n")).to_pylist()
         payloads = b.column(b.schema.get_field_index("payload")).to_pylist()
-        o_shard, o_term, o_id, o_tf, o_dl = [], [], [], [], []
-        for sh, term, n, payload in zip(shards, terms, ns, payloads):
+        # per-block numpy arrays, one concatenate per batch — postings
+        # themselves never pass through Python objects (Python touches
+        # only the O(blocks) loop, and block size is ≥64 postings)
+        id_runs, tf_runs, dl_runs = [], [], []
+        counts = np.asarray(ns, dtype=np.int64)
+        for n, payload in zip(ns, payloads):
             ids, tfs, dls = decode_block(payload, n)
-            o_shard.extend([sh] * n)
-            o_term.extend([term] * n)
-            o_id.extend(int(x) for x in ids)
-            o_tf.extend(int(x) for x in tfs)
-            o_dl.extend(int(x) for x in dls)
+            id_runs.append(ids)
+            tf_runs.append(tfs)
+            dl_runs.append(dls)
+        o_id = np.concatenate(id_runs).astype(np.int64, copy=False)
+        o_tf = np.concatenate(tf_runs).astype(np.int32, copy=False)
+        o_dl = np.concatenate(dl_runs).astype(np.int32, copy=False)
+        o_shard = np.repeat(np.asarray(shards, dtype=np.int32), counts)
+        o_term = pa.DictionaryArray.from_arrays(
+            pa.array(
+                np.repeat(np.arange(len(terms), dtype=np.int32), counts)
+            ),
+            pa.array(terms, pa.string()),
+        ).cast(pa.string())
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(o_shard, pa.int32()),
-                pa.array(o_term, pa.string()),
+                o_term,
                 pa.array(o_id, pa.int64()),
                 pa.array(o_tf, pa.int32()),
                 pa.array(o_dl, pa.int32()),
@@ -358,16 +371,18 @@ def update_blocks(
         if any(d.startswith("shard=") for d in os.listdir(tmp))
         else 0
     )
-    # swap changed shard dirs (new shards beyond the old range may appear
-    # when appended doc_ids open fresh spans)
-    new_shards = sorted(
-        {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(tmp)
-            if d.startswith("shard=")
-        }
-    )
-    for v in sorted(set(changed) | set(new_shards)):
+    # swap changed shard dirs — every shard in tmp is in `changed` by
+    # construction (tmp holds old_changed minus removed, plus delta, and
+    # `changed` was derived from the same doc_id→shard expression)
+    if n_new_changed:
+        # a previously-emptied store is a flat schema'd-empty parquet
+        # table; placing shard dirs next to those flat files would make a
+        # mixed layout spark can't read — clear the (empty) flat files
+        for n in os.listdir(blocks_path):
+            fp = os.path.join(blocks_path, n)
+            if os.path.isfile(fp):
+                os.remove(fp)
+    for v in sorted(set(changed)):
         live = os.path.join(blocks_path, f"shard={v}")
         fresh = os.path.join(tmp, f"shard={v}")
         if os.path.exists(live):
@@ -375,11 +390,30 @@ def update_blocks(
         if os.path.exists(fresh):
             os.replace(fresh, live)
     shutil.rmtree(tmp, ignore_errors=True)
+    # an update that emptied every shard must leave a READABLE store
+    _ensure_readable_blocks(spark, blocks_path)
 
     meta["n_blocks"] = meta.get("n_blocks", 0) - n_old_changed + n_new_changed
     with open(meta_path, "w") as f:
         _json.dump(meta, f)
     return meta
+
+
+def _ensure_readable_blocks(spark, blocks_path: str) -> None:
+    """A partitioned write of an EMPTY relation leaves only _SUCCESS —
+    unreadable by spark.read.parquet (same Spark behavior the docs/
+    postings tables guard with _ensure_nonempty_partitioned).  An index
+    emptied by a full delete, or built over zero postings, must still
+    have a readable block store: replace the bare dir with a schema'd
+    empty plain-parquet table."""
+    import os
+
+    if any(n.startswith("shard=") for n in os.listdir(blocks_path)):
+        return
+    if any(n.endswith(".parquet") for n in os.listdir(blocks_path)):
+        return  # already a plain (possibly empty) parquet table
+    empty = spark.createDataFrame([], "shard int, " + BLOCKS_SCHEMA)
+    empty.write.mode("overwrite").parquet(blocks_path)
 
 
 def _encode_with_shard(batches):

@@ -469,13 +469,15 @@ def recover_segments_if_needed(spark: SparkSession, index_dir: str) -> bool:
             os.replace(staged, final)
         elif os.path.isdir(staged):
             shutil.rmtree(staged, ignore_errors=True)
-    B.save_manifest(index_dir, j["manifest_json"])
+    # blocks before the manifest — see apply_update_append's commit: the
+    # manifest stat is the reader-cache version token
     if j.get("blocks_stale") and os.path.exists(
         os.path.join(index_dir, B.BLOCKS_DIR)
     ):
         from bm25_index_tool_spark.blocks import build_blocks
 
         build_blocks(spark, index_dir)
+    B.save_manifest(index_dir, j["manifest_json"])
     os.remove(jpath)
     return True
 
@@ -843,9 +845,12 @@ def apply_update_append(
 
     for staged, final in moves:
         os.replace(staged, final)
-    B.save_manifest(index_dir, new_manifest.to_json())
 
     if os.path.exists(os.path.join(index_dir, B.BLOCKS_DIR)):
+        # blocks BEFORE the manifest commit: the manifest stat is the
+        # reader-cache version token, so a blocks-engine query racing
+        # this window caches under the OLD version, which the manifest
+        # write below retires — never stale-results-under-new-version
         from bm25_index_tool_spark.blocks import update_blocks
 
         update_blocks(
@@ -853,6 +858,7 @@ def apply_update_append(
             delta_post.select("term", "doc_id", "tf", "dl"), removed_ids,
         )
     delta_post.unpersist()
+    B.save_manifest(index_dir, new_manifest.to_json())
     if removed_tfs is not None:
         removed_tfs.unpersist()
     os.remove(jpath)

@@ -244,14 +244,18 @@ def recover_if_needed(spark: SparkSession, index_dir: str) -> bool:
         )
     _ensure_nonempty_partitioned(spark, docs_path, "doc_pt", docs_schema)
 
-    B.save_manifest(index_dir, j["manifest_json"])
-
+    # blocks BEFORE the manifest: the manifest stat is the reader-cache
+    # version token, so committing it while the block store still holds
+    # pre-update shards would let a concurrent blocks-engine query cache
+    # stale results under the NEW version
     if j.get("blocks_stale") and os.path.exists(
         os.path.join(index_dir, B.BLOCKS_DIR)
     ):
         from bm25_index_tool_spark.blocks import build_blocks
 
         build_blocks(spark, index_dir)
+
+    B.save_manifest(index_dir, j["manifest_json"])
 
     # vector refresh staged before the journal (ADVICE r03): roll the
     # segment/tombstone renames forward idempotently — staged dirs were
@@ -619,13 +623,15 @@ def apply_update(
         _swap_partitions(docs_path, tmp_docs, "doc_pt", changed_pts)
     _ensure_nonempty_partitioned(spark, docs_path, "doc_pt", docs_schema)
 
-    B.save_manifest(index_dir, new_manifest.to_json())
-
     if os.path.exists(os.path.join(index_dir, B.BLOCKS_DIR)):
         # fixed-span doc sharding (blocks_meta shard_span) keeps shard
         # assignment stable as N changes: only shards containing changed
         # doc_ids are re-encoded, from their own old blocks + the delta —
-        # IO ∝ delta, untouched shard dirs stay byte-identical
+        # IO ∝ delta, untouched shard dirs stay byte-identical.  Ordered
+        # BEFORE the manifest commit: the manifest stat is the reader-
+        # cache version token, and a blocks-engine query racing this
+        # window must cache under the OLD version (which the manifest
+        # write below then retires), never stale-under-new
         from bm25_index_tool_spark.blocks import update_blocks
 
         update_blocks(
@@ -633,6 +639,8 @@ def apply_update(
             removed_ids,
         )
     delta_post.unpersist()
+
+    B.save_manifest(index_dir, new_manifest.to_json())
     # vector refresh (reference commands/update.py:276+): the staged chunk
     # segment + path tombstones become visible here, inside the journal's
     # lifetime — recovery replays these renames idempotently

@@ -182,6 +182,14 @@ class LoadedIndex:
             from bm25_index_tool_spark.delta_store import _index_state_token
 
             if _index_state_token(self.index_dir, self.spark) == v0:
+                # a prior preload's frames this call didn't re-request
+                # (e.g. a docs cache) must not stay persisted
+                # unreachably; frames re-requested at the same version
+                # are the SAME objects (served back through _read's
+                # cache check), so unpersist only what was dropped
+                for old_df in (self._cached or {}).values():
+                    if not any(old_df is df for df in cached.values()):
+                        old_df.unpersist()
                 self._cached = cached
                 return self
             for df in cached.values():

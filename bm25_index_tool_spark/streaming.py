@@ -63,7 +63,12 @@ def stream_index_updates(
     """Start (and return) a streaming query that merges every corpus
     parquet file appearing under ``source_dir`` into the index at
     ``index_dir``.  Callers own the returned query's lifecycle
-    (``awaitTermination`` / ``stop``)."""
+    (``awaitTermination`` / ``stop``).
+
+    Trigger: an explicit ``processing_time`` (e.g. ``"10 seconds"``)
+    makes a continuous daemon and takes precedence; otherwise
+    ``available_now=True`` (the default) drains the current backlog and
+    terminates."""
     from pyspark.sql import Window, functions as F
 
     reader = spark.readStream.schema(CORPUS_STREAM_SCHEMA)
@@ -109,8 +114,12 @@ def stream_index_updates(
     writer = stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_time:
+    # an explicit processing_time wins over the available_now DEFAULT —
+    # otherwise a caller asking for a continuous daemon silently gets a
+    # drain-once query (available_now=True is the default, so reaching
+    # the elif required ALSO passing available_now=False)
+    if processing_time:
         writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
     return writer.start()

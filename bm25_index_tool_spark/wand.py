@@ -93,9 +93,10 @@ def _shard_topk(tbl, weights: dict, k1: float, b: float, avgdl: float, top_k: in
     per_term: dict[str, dict] = {}
     for t, w in weights.items():
         idx = np.flatnonzero(terms == t)
-        ub = w * (max_tfs[idx] * (k1 + 1.0)) / (
-            max_tfs[idx] + k1 * (1.0 - b + b * min_dls[idx] / avgdl)
-        )
+        # block upper bound = the SAME partial formula evaluated at the
+        # block's (max_tf, min_dl) — sharing _partial keeps the bound
+        # admissible if the scoring expression ever changes
+        ub = _partial(max_tfs[idx], min_dls[idx], w, k1, b, avgdl)
         per_term[t] = {
             "idx": idx,
             "min": mins[idx],
@@ -253,6 +254,10 @@ def wand_search(index: LoadedIndex, query: str, top_k: int = 10):
     empty = spark.createDataFrame(
         [], "doc_id long, path string, filename string, content_sha256 string, score double"
     )
+    if top_k <= 0:
+        # engine identity with score_query's limit(0); without the guard
+        # _shard_topk min()s a zero-size array inside the executor
+        return empty
     if set(counts) - set(dfs):
         return empty  # conjunctive: a term with no postings → no results
 

@@ -305,3 +305,33 @@ def test_build_blocks_records_max_df_and_auto_resolves(spark, tmp_path):
     ]
     for a, b in zip(res_blocks, res_join):
         assert math.isclose(a["score"], b["score"], rel_tol=1e-9)
+
+
+def test_blocks_survive_full_delete_and_refill(spark, tmp_path):
+    """An update that empties every shard must leave a READABLE block
+    store (a partitioned write of an empty relation is only _SUCCESS),
+    and a later doc-adding update must rebuild shards from it; top_k=0
+    matches the join engine's empty frame instead of crashing in the
+    executor."""
+    from bm25_index_tool_spark import corpus as C
+    from bm25_index_tool_spark.client import BM25SparkClient
+    from bm25_index_tool_spark.score import LoadedIndex
+    from bm25_index_tool_spark.wand import wand_search
+
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    rows = C.generate_rows(20, seed=41)
+    client.create_index(
+        "fd", spark.createDataFrame(rows, C.CORPUS_SCHEMA),
+        num_buckets=4, build_block_engine=True,
+    )
+    idx_dir = client._index_dir("fd")
+    assert wand_search(LoadedIndex.open(spark, idx_dir), "apple", 0).count() == 0
+
+    client.update_index("fd", spark.createDataFrame([], C.CORPUS_SCHEMA))
+    # emptied store still readable, queries return nothing
+    assert client.search("fd", "apple", engine="blocks", use_cache=False) == []
+
+    client.update_index("fd", spark.createDataFrame(rows, C.CORPUS_SCHEMA))
+    got = client.search("fd", "apple", top_k=5, engine="blocks", use_cache=False)
+    exp = client.search("fd", "apple", top_k=5, engine="join", use_cache=False)
+    assert [r["path"] for r in got] == [e["path"] for e in exp] and got
