@@ -394,6 +394,17 @@ def update_blocks(
     _ensure_readable_blocks(spark, blocks_path)
 
     meta["n_blocks"] = meta.get("n_blocks", 0) - n_old_changed + n_new_changed
+    # refresh max_df (the choose_engine auto-selection stat) from the
+    # (small) termstats live view — one scalar agg, same as build_blocks.
+    # Without this, append-only ingest could grow the hottest posting list
+    # far past the WAND threshold while auto stays on 'join' forever
+    # (ADVICE r04: the staleness was unbounded, not order-of-magnitude).
+    from bm25_index_tool_spark import delta_store as DS
+
+    ts = spark.read.parquet(os.path.join(index_dir, B.TERMSTATS_DIR))
+    if DS.has_segments(index_dir):
+        ts = DS.termstats_view(spark, index_dir, ts)
+    meta["max_df"] = int(ts.agg(F.max("df")).collect()[0][0] or 0)
     with open(meta_path, "w") as f:
         _json.dump(meta, f)
     return meta

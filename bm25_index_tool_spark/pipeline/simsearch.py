@@ -256,7 +256,16 @@ def ivf_kmeans_centroids(
 def ivf_cell_col(vec: F.Column, centroids: list[list[float]]) -> F.Column:
     """0-based cell = argmax over centroids of round(cosine, 9) — first
     index wins ties; rounding makes the argmax reproducible across engines
-    (float fold order differs between Spark and DuckDB)."""
+    (float fold order differs between Spark and DuckDB).
+
+    EXPRESSION TWIN ONLY (VERDICT r04 #1): this builds O(m×dim) literal
+    nodes in a single Catalyst expression — fine at test dims, but at
+    production 1024-dim × m in the thousands, plan construction/codegen
+    blows up long before the data does.  Every production path
+    (``ivf_topk``, ``write_ivf_index``, ``vector.build_vector_ann``) now
+    assigns cells via ``assign_cells`` (one numpy matmul per Arrow batch);
+    this stays as the DuckDB-replayable definition the oracle SQL mirrors
+    and the differential tests compare against."""
     scores = F.array(
         *[
             F.round(cosine_expr(vec, F.array(*[F.lit(x) for x in c])), 9)
@@ -264,6 +273,71 @@ def ivf_cell_col(vec: F.Column, centroids: list[list[float]]) -> F.Column:
         ]
     )
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def _vec_matrix(col, dim: int) -> np.ndarray:
+    """Arrow list-of-float column → (n, dim) float64 matrix (zero Python
+    per element; one flatten + reshape)."""
+    if col.null_count:
+        raise ValueError("null embedding in IVF cell assignment")
+    flat = col.flatten()
+    vals = np.asarray(flat, dtype=np.float64)
+    if vals.size != len(col) * dim:
+        raise ValueError(
+            f"embedding dim mismatch: expected {dim}, got ragged column "
+            f"({vals.size} values over {len(col)} rows)"
+        )
+    return vals.reshape(len(col), dim)
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Scale-safe IVF cell assignment (VERDICT r04 #1): append ``out_col``
+    = coarse-quantizer cell to every row via ``mapInArrow`` — one
+    ``(batch × dim) @ (dim × m)`` numpy matmul per Arrow batch against the
+    plan-shipped centroid matrix.  Plan size is flat in both m and dim
+    (the centroids ride in the serialized closure, not the expression
+    tree), so this survives the reference's real 1024-dim embeddings
+    (vector/embeddings.py:24-26) at production cell counts, where the
+    ``ivf_cell_col`` expression twin would not compile sensibly.
+
+    Determinism matches the expression twin and the DuckDB oracle exactly:
+    cosine rounded to 9 dp, argmax with first-index-wins ties
+    (``np.argmax`` ≡ ``F.array_position`` of the max ≡ the oracle's
+    ``row_number ... ORDER BY s DESC, cell ASC``).
+    """
+    import pyarrow as pa
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    Cn = np.linalg.norm(C, axis=1)
+    dim = C.shape[1]
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType(), False)]
+    )
+
+    def _assign(batches):
+        from bm25_index_tool_spark.arrow_tokenize import _pin_arrow_threads
+
+        _pin_arrow_threads()
+        for b in batches:
+            if not b.num_rows:
+                continue
+            V = _vec_matrix(b.column(b.schema.get_field_index(vec_col)), dim)
+            vn = np.linalg.norm(V, axis=1)
+            sims = np.round((V @ C.T) / (vn[:, None] * Cn[None, :]), 9)
+            cells = np.argmax(sims, axis=1).astype(np.int32)
+            yield b.append_column(
+                pa.field(out_col, pa.int32(), nullable=False),
+                pa.array(cells, type=pa.int32()),
+            )
+
+    return df.mapInArrow(_assign, out_schema)
 
 
 def ivf_probe_cells(
@@ -298,13 +372,19 @@ def ivf_topk(
     ``write_ivf_index`` so the probe becomes a partition filter."""
     cents = centroids or ivf_stride_centroids(emb, m, id_col=id_col, vec_col=vec_col)
     probe = ivf_probe_cells(query_vec, cents, nprobe)
-    v = F.col(vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # narrow (id, vec) projection through the Arrow assigner — on-the-fly
+    # assignment touches every vector either way; the matmul path keeps the
+    # plan flat in m×dim where the expression twin would not compile at
+    # production dims (VERDICT r04 #1)
+    assigned = assign_cells(
+        emb.select(id_col, vec_col), cents, vec_col=vec_col
+    )
     return (
-        emb.where(ivf_cell_col(v, cents).isin(probe))
+        assigned.where(F.col("cell").isin(probe))
         .select(
             F.col(id_col).alias("id"),
-            F.round(cosine_expr(v, q), 9).alias("cosine"),
+            F.round(cosine_expr(F.col(vec_col), q), 9).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
@@ -325,11 +405,12 @@ def write_ivf_index(
     Returns the centroids (persist them next to the index)."""
     cents = centroids or ivf_stride_centroids(emb, m, id_col=id_col, vec_col=vec_col)
     (
-        emb.select(
-            ivf_cell_col(F.col(vec_col), cents).alias("cell"),
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
+        assign_cells(
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            cents,
+            vec_col="v",
         )
+        .select("cell", "id", "v")
         .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")

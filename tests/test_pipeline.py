@@ -266,6 +266,42 @@ def test_ivf_ann(spark, tmp_path):
     assert krecall >= recall, f"kmeans recall {krecall} < stride {recall}"
 
 
+def test_assign_cells_matches_expression_twin(spark):
+    """The scale-safe Arrow matmul assigner (VERDICT r04 #1) must agree
+    cell-for-cell with the ivf_cell_col expression twin (the definition
+    the DuckDB oracle mirrors): same 9-dp rounding, same first-index-wins
+    argmax — including on ties and at a dim (1024) where the expression
+    tree is already hundreds of thousands of literal nodes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(17)
+    for dim, m, n in ((16, 24, 300), (1024, 12, 40)):
+        vecs = rng.standard_normal((n, dim))
+        # force EXACT duplicates of some centroids → cosine ties across
+        # the duplicated cells, exercising first-index-wins
+        cents = rng.standard_normal((m, dim))
+        cents[m // 2] = cents[0]
+        cents[m - 1] = cents[1] * 2.0  # same direction ⇒ same cosine
+        vecs[:5] = cents[0] + 0.0
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        cl = [[float(x) for x in c] for c in cents]
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in SS.assign_cells(emb, cl).select("vec_id", "cell").collect()
+        }
+        want = {
+            r["vec_id"]: r["cell"]
+            for r in emb.select(
+                "vec_id", SS.ivf_cell_col(F.col("embedding"), cl).alias("cell")
+            ).collect()
+        }
+        assert got == want, f"dim={dim}: {sum(got[k] != want[k] for k in got)} mismatches"
+
+
 def test_jaccard_hot_shingle_cap(spark):
     """A shingle shared by EVERY doc would drive a d² self-join blow-up;
     the cap drops it before the join and jaccard is exact over the reduced
