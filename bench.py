@@ -508,16 +508,30 @@ def main() -> None:
             # noise vs real work (VERDICT r03 #1 — the 2.35→5.51s bm25_topk
             # swing was unattributable without this)
             phase_steal[f"surface_{name}"] = _steal_pct(cq, _cpu_stat())
+            # per-row 1-min load too (VERDICT r04 #2): co-tenant load
+            # inside the VM inflates wall time without showing as steal
+            phase_load[f"surface_{name}"] = round(os.getloadavg()[0], 2)
         phase_steal["surface"] = _steal_pct(c0, _cpu_stat())
         phase_load["surface"] = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 3)
+    # -- headline gating (VERDICT r04 #6): an artifact taken under real
+    # co-tenant interference must SAY so.  "gated": true means overall
+    # steal ≤ BENCH_STEAL_GATE (default 2%) — numbers comparable
+    # round-over-round.  Retry protocol when false: re-run in a quieter
+    # window (BENCH_LOAD_WAIT raises the wait budget), or re-run only the
+    # noisy phases via BENCH_PHASES and read the per-row steal/load maps
+    # to attribute any residual outlier before citing it.
+    steal_gate = float(os.environ.get("BENCH_STEAL_GATE", "2.0"))
+    overall_steal = _steal_pct(cpu0, _cpu_stat())
     print(
         json.dumps(
             {
                 "metric": "bm25_spark_headline_suite",
                 "value": total,
                 "unit": "sec",
+                "gated": overall_steal <= steal_gate,
+                "steal_gate_pct": steal_gate,
                 "queries": timings,
                 "sf": sf,
                 "n_files_built": n_files,
@@ -527,7 +541,7 @@ def main() -> None:
                 "load_avg_start": load0,
                 "load_gate": load_gate,
                 "gate_waited_sec": gate_waited,
-                "steal_pct": _steal_pct(cpu0, _cpu_stat()),
+                "steal_pct": overall_steal,
                 "phase_steal_pct": phase_steal,
                 "phase_load": phase_load,
                 "body_x": body_x,

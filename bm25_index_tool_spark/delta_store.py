@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import functools
 import json
+import logging
 import os
 import shutil
 import threading
@@ -314,12 +315,15 @@ def _read_all_segments(
     table_dir: str,
     keep_seg: bool = False,
     upto: int | None = None,
+    after: int | None = None,
 ):
     """Union of all committed segments of one table (None when empty).
     Explicit seg-dir paths + basePath keep partition discovery working
     (``seg``/``bucket``/``doc_pt`` columns) while ignoring staging dirs;
     the ``seg`` column is dropped — readers never care which segment a row
-    came from.  ``upto`` restricts to segment ids ≤ upto (tiered merge)."""
+    came from.  ``upto`` restricts to segment ids ≤ upto (tiered merge);
+    ``after`` to ids > after (ANN fold absorption skips absorbed dirs
+    entirely — no scan is even scheduled)."""
     def _has_parquet(p: str) -> bool:
         for dp, _d, fs in os.walk(p):
             if any(f.endswith(".parquet") for f in fs):
@@ -334,6 +338,8 @@ def _read_all_segments(
     ]
     if upto is not None:
         dirs = [d for d in dirs if _seg_dir_id(d) <= upto]
+    if after is not None:
+        dirs = [d for d in dirs if _seg_dir_id(d) > after]
     if not dirs:
         return None
     root = os.path.join(index_dir, table_dir)
@@ -1032,6 +1038,19 @@ def merge_segments(
     hit = _STORED_PROJ_CACHE.get(index_dir)
     if hit is not None:
         _STORED_PROJ_CACHE[index_dir] = (_index_state_token(index_dir), hit[1])
+    # best-effort ANN maintenance (VERDICT r04 #7): absorb the merged
+    # vector segment into the partition-pruned fold dirs so steady-state
+    # tiered compaction keeps the semantic probe's union tail bounded.
+    # Failure is safe: the probe unions the folded segment like any other.
+    try:
+        from bm25_index_tool_spark import vector as V
+
+        V.absorb_merged_segment_into_ann(spark, index_dir, upto)
+    except Exception:
+        logging.getLogger(__name__).warning(
+            "ANN fold absorption failed for %s (probe stays correct, "
+            "just less pruned)", index_dir, exc_info=True,
+        )
     return len(folded)
 
 

@@ -79,14 +79,95 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, str]:
     return width, height, n_frames, h[:16]
 
 
-def _real_decode(payload: bytes, kind: str) -> tuple[int, int, int, str]:
-    """Real image decode via PIL (import gated by ``decode_image_batch``).
-    Identical signature/return contract to ``_fake_decode`` — the stub gate
-    is the ONLY delta between the fake and real paths (VERDICT r03 #8).
-    Audio/video decode needs ffmpeg-class libs; not available here."""
-    import io
+def _png_decode_stdlib(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib PNG reader (``zlib`` + ``struct``; VERDICT r04 #4):
+    8-bit greyscale/RGB/RGBA, non-interlaced, all five scanline filters —
+    returns (width, height, rgb_bytes) with the SAME RGB byte layout PIL's
+    ``convert("RGB").tobytes()`` produces for these color types, so the
+    feature_hash contract is decoder-independent.  Exists so the real
+    (non-fake) mapInPandas path executes in environments without PIL;
+    anything beyond this PNG subset still needs the real library."""
+    import struct
+    import zlib
 
-    from PIL import Image  # resolved only when the caller verified import
+    if bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "stdlib fallback decodes PNG only (install PIL for other "
+            "image formats)"
+        )
+    pos, width, height, color_type, idat = 8, None, None, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+                raise NotImplementedError(
+                    "stdlib PNG fallback supports 8-bit non-interlaced "
+                    f"grey/RGB/RGBA only (depth={depth}, "
+                    f"color_type={color_type}, interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise NotImplementedError("truncated PNG (no IHDR/IDAT)")
+    raw = zlib.decompress(b"".join(bytes(d) for d in idat))
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = width * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    p2 = 0
+    for _y in range(height):
+        flt = raw[p2]
+        line = bytearray(raw[p2 + 1 : p2 + 1 + stride])
+        p2 += 1 + stride
+        if flt == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif flt == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif flt == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif flt == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif flt != 0:
+            raise NotImplementedError(f"PNG scanline filter {flt}")
+        prev = line
+        if ch == 3:
+            out += line
+        elif ch == 4:  # drop alpha (PIL convert('RGB') does the same)
+            for j in range(0, stride, 4):
+                out += line[j : j + 3]
+        else:  # grey → replicate
+            for v in line:
+                out += bytes((v, v, v))
+    return width, height, bytes(out)
+
+
+def _real_decode(payload: bytes, kind: str) -> tuple[int, int, int, str]:
+    """Real image decode: PIL when importable, else the stdlib PNG golden
+    fallback (``_png_decode_stdlib``) — identical signature/return
+    contract to ``_fake_decode``, and an identical feature_hash for the
+    formats both decoders handle, so the stub gate is the ONLY delta
+    between the fake and real paths (VERDICT r03 #8 / r04 #4).
+    Audio/video decode needs ffmpeg-class libs; still stub-gated."""
+    import io
 
     if kind != "image":
         # NB: raised inside an executor task at ACTION time (the driver
@@ -98,6 +179,11 @@ def _real_decode(payload: bytes, kind: str) -> tuple[int, int, int, str]:
             "(not installed here); filter to kind == 'image' before "
             "decode_image_batch, or pass deterministic_fake=True"
         )
+    try:
+        from PIL import Image
+    except ImportError:
+        width, height, pixels = _png_decode_stdlib(bytes(payload))
+        return width, height, 1, hashlib.sha256(pixels).hexdigest()[:16]
     with Image.open(io.BytesIO(payload)) as img:
         width, height = img.size
         n_frames = int(getattr(img, "n_frames", 1))
@@ -111,29 +197,20 @@ def decode_image_batch(
     """Decode/feature-extract media via ``mapInPandas`` (Arrow batches —
     the payload bytes never pass through per-row Python object boxing).
 
-    Without ``deterministic_fake`` the REAL decoder runs when PIL is
-    importable (images only); otherwise this raises NotImplementedError —
-    the decode libraries are not present in this environment.  Both paths
+    Without ``deterministic_fake`` the REAL decoder runs: PIL when
+    importable, else a pure-stdlib PNG reader (``_png_decode_stdlib``) —
+    so the non-fake path executes even in this environment.  Both paths
     share the same mapInPandas plumbing, batch shape and FEATURES_SCHEMA.
 
-    With the real decoder, rows whose ``kind`` is not ``'image'`` raise
-    NotImplementedError inside executor tasks at action time (audio/video
-    need ffmpeg-class libs): the driver-side probe can only gate on
-    library availability, not on distributed column values — filter to
-    ``kind == 'image'`` first when the input may hold mixed media.
+    With the real decoder, rows whose ``kind`` is not ``'image'`` (or,
+    without PIL, whose payload is not a supported PNG) raise
+    NotImplementedError inside executor tasks at ACTION time — audio/video
+    need ffmpeg-class libs and stay stub-gated.  The driver-side probe can
+    only gate on library availability, not on distributed column values —
+    filter to ``kind == 'image'`` first when the input may hold mixed
+    media.
     """
-    if deterministic_fake:
-        decode = _fake_decode
-    else:
-        try:
-            import PIL  # noqa: F401 — probe only; workers re-import
-        except ImportError as e:
-            raise NotImplementedError(
-                "Real media decoding requires PIL/libvips/ffmpeg (not "
-                "installed here). Pass deterministic_fake=True to exercise "
-                "the plumbing."
-            ) from e
-        decode = _real_decode
+    decode = _fake_decode if deterministic_fake else _real_decode
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -285,10 +285,28 @@ def score_tokens(
     doc_cols = ["doc_id", "full_path", "filename", "content_sha256"]
     if include_content:
         doc_cols.append("content")
+    docs = index.docs()
+    join_keys = ["doc_id"]
+    if "doc_pt" in docs.columns:
+        # derive the winners' partition values and join on doc_pt too:
+        # Catalyst turns that into DynamicPartitionPruning on the docs scan
+        # (PartitionFilters: doc_pt IN dynamicpruning#N) — the winners
+        # fetch reads ≤k partitions instead of the whole docs table, the
+        # step that grows O(corpus) at 5.12M+ docs (VERDICT r04 #5).  Same
+        # formula as the build's partitioning (build.py doc_pt assignment).
+        topk = topk.withColumn(
+            "doc_pt",
+            F.pmod(F.col("doc_id"), F.lit(m.num_buckets)).cast(
+                docs.schema["doc_pt"].dataType
+            ),
+        )
+        doc_cols.append("doc_pt")
+        join_keys.append("doc_pt")
     result = (
-        index.docs()
+        docs
         .select(*doc_cols)
-        .join(F.broadcast(topk), "doc_id")
+        .join(F.broadcast(topk), join_keys)
+        .drop("doc_pt")
         .withColumnRenamed("full_path", "path")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
@@ -361,10 +379,23 @@ def score_query_batch(
         .where(F.col("rank") <= top_k)
         .select("query_id", "query", "doc_id", "score", "rank")
     )
-    docs = index.docs().select("doc_id", F.col("full_path").alias("path"))
+    alldocs = index.docs()
+    join_keys = ["doc_id"]
+    sel = ["doc_id", F.col("full_path").alias("path")]
+    if "doc_pt" in alldocs.columns:
+        # DPP on the winners fetch, as in score_tokens (VERDICT r04 #5)
+        topk = topk.withColumn(
+            "doc_pt",
+            F.pmod(F.col("doc_id"), F.lit(m.num_buckets)).cast(
+                alldocs.schema["doc_pt"].dataType
+            ),
+        )
+        sel.insert(1, F.col("doc_pt"))
+        join_keys.append("doc_pt")
+    docs = alldocs.select(*sel)
     # broadcast the ≤ n_queries×k winners (matches the single-query path;
     # VERDICT r02 #5: without the hint, pre-AQE stats on a window output are
     # unknown and a planner miss here shuffles the full docs table)
-    return F.broadcast(topk).join(docs, "doc_id").select(
+    return F.broadcast(topk).join(docs, join_keys).select(
         "query_id", "query", "doc_id", "path", "score", "rank"
     ).orderBy("query_id", "rank")

@@ -474,6 +474,7 @@ def stage_vector_refresh(
 # ---------------------------------------------------------------------------
 
 VECTOR_ANN_DIR = "vector_ann"
+VECTOR_ANN_FOLDS_DIR = "vector_ann_folds"
 
 
 # fingerprint memo keyed by the cheap os-level index-state token (manifest
@@ -582,11 +583,20 @@ def build_vector_ann(
         .partitionBy("cell")
         .parquet(ann_path)
     )
+    # a rebuild supersedes every absorbed fold (their rows are folded into
+    # the new base by the compaction that preceded the rebuild)
+    import shutil
+
+    shutil.rmtree(
+        os.path.join(index_dir, VECTOR_ANN_FOLDS_DIR), ignore_errors=True
+    )
     meta = {
         "m": m_eff,
         "quantizer": quantizer,
         "seed": seed,
         "centroids": cents,
+        "absorbed": [],
+        "absorbed_dirs": [],
         "base_fingerprint": _vector_base_fingerprint(index_dir),
         # m/4 keeps a 4× partition-pruned probe while clearing the quality
         # floor even on the adversarial near-uniform fake embeddings
@@ -601,6 +611,86 @@ def build_vector_ann(
     return meta
 
 
+def absorb_merged_segment_into_ann(
+    spark, index_dir: str, fold_seg: int
+) -> int:
+    """Incremental ANN maintenance at tiered-merge time (VERDICT r04 #7):
+    assign the freshly merged vector segment's live rows to the EXISTING
+    centroids (no re-clustering) and materialize them as a cell-partitioned
+    ``vector_ann_folds/fold=<seg>/`` directory.  The probe then reads
+    (pruned ANN base ∪ pruned fold dirs ∪ live segments NEWER than the
+    fold) — steady-state ingest keeps the un-pruned union side bounded to
+    the post-merge tail instead of growing without limit.
+
+    Aliveness stays seg-ordered: absorbed rows carry their fold id, base
+    rows sort below every tombstone (seg ids start at 1), so a later
+    modification's tombstone kills the absorbed copy while the newer
+    segment row survives — the same rule as ``vector_view``.
+
+    Purely an OPTIMIZATION with probe-side validation: on any failure (or
+    when no fresh ANN exists) nothing is recorded and the probe simply
+    unions the folded segment like any other — correct, just less pruned.
+    A merge folds from the oldest id up, so each absorption supersedes all
+    previous fold dirs (their rows are inside the new merged segment);
+    superseded dirs are removed after the meta swap.  FULL compaction
+    rewrites the base and still requires ``build_vector_ann`` (the
+    fingerprint gate falls back to the exact scan until then)."""
+    import json
+    import os
+    import shutil
+
+    from bm25_index_tool_spark import delta_store as DS
+    from bm25_index_tool_spark.pipeline import simsearch as SS
+
+    meta = _load_ann_meta(index_dir)
+    if meta is None:
+        return 0
+    if meta.get("base_fingerprint") != _vector_base_fingerprint(index_dir):
+        return 0  # stale ANN: probe already falls back; nothing to absorb
+    folds_root = os.path.join(index_dir, VECTOR_ANN_FOLDS_DIR)
+    final = os.path.join(folds_root, f"fold={fold_seg}")
+    staging = final + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+
+    seg = DS._read_all_segments(
+        spark, index_dir, DS.VECTOR_SEG_DIR, keep_seg=True
+    )
+    prior_dirs = list(meta.get("absorbed_dirs") or [])
+    rows = None
+    if seg is not None:
+        rows = seg.where(F.col("seg").cast("int") == fold_seg).drop("seg")
+        # the merged segment applied fold-internal tombstones already;
+        # rows here are live-as-of-fold
+        if rows.limit(1).count() == 0:
+            rows = None
+    n = 0
+    if rows is not None:
+        (
+            SS.assign_cells(rows, meta["centroids"], vec_col="embedding")
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staging)
+        )
+        os.replace(staging, final)
+        n = 1  # dir exists; row count not needed for correctness
+    new_meta = dict(meta)
+    new_meta["absorbed"] = [fold_seg]
+    new_meta["absorbed_dirs"] = [fold_seg] if rows is not None else []
+    mp = os.path.join(index_dir, VECTOR_ANN_DIR, "_ann_meta.json")
+    with open(mp + ".tmp", "w") as f:
+        json.dump(new_meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mp + ".tmp", mp)
+    for s in prior_dirs:
+        if s != fold_seg:
+            shutil.rmtree(
+                os.path.join(folds_root, f"fold={s}"), ignore_errors=True
+            )
+    return n
+
+
 def _load_ann_meta(index_dir: str) -> dict | None:
     import json
     import os
@@ -612,14 +702,21 @@ def _load_ann_meta(index_dir: str) -> dict | None:
         return json.load(f)
 
 
-def _live_segment_rows(spark, index_dir: str, cols: list[str]):
+def _live_segment_rows(
+    spark, index_dir: str, cols: list[str], *, after_seg: int = -1
+):
     """Live rows of the refresh segments only (base excluded): a segment
     row survives iff its seg ≥ the path's latest tombstone seg — the same
-    ordering rule as vector_view, restricted to the delta."""
+    ordering rule as vector_view, restricted to the delta.  ``after_seg``
+    skips segments already absorbed into the ANN fold dirs (their rows are
+    served partition-pruned from there); tombstones from ALL segments
+    still apply — a folded tombstone's seg never exceeds the fold id, so
+    newer rows stay alive under the ordering rule."""
     from bm25_index_tool_spark import delta_store as DS
 
     seg = DS._read_all_segments(
-        spark, index_dir, DS.VECTOR_SEG_DIR, keep_seg=True
+        spark, index_dir, DS.VECTOR_SEG_DIR, keep_seg=True,
+        after=after_seg if after_seg >= 0 else None,
     )
     if seg is None:
         return None
@@ -676,6 +773,16 @@ def semantic_search_index(
     fresh = (
         ann is not None
         and ann.get("base_fingerprint") == _vector_base_fingerprint(index_dir)
+        # every absorbed fold dir must exist (a half-cleaned absorption
+        # degrades to the scan rather than losing rows)
+        and all(
+            os.path.exists(
+                os.path.join(
+                    index_dir, VECTOR_ANN_FOLDS_DIR, f"fold={s}"
+                )
+            )
+            for s in (ann.get("absorbed_dirs") or [])
+        )
     )
     if method == "auto":
         method = "ivf" if fresh else "scan"
@@ -706,14 +813,44 @@ def semantic_search_index(
         spark.read.parquet(os.path.join(index_dir, VECTOR_ANN_DIR))
         .where(F.col("cell").isin(probe))
         .drop("cell")
+        # base rows sort below every tombstone (seg ids start at 1)
+        .withColumn("_aseg", F.lit(-1))
     )
-    cols = cand.columns
-    ts = DS._read_all_segments(spark, index_dir, DS.VECTOR_TS_DIR)
-    if ts is not None:  # refreshed/deleted docs: base rows are dead
-        cand = cand.join(
-            F.broadcast(ts.select("path").distinct()), "path", "left_anti"
+    absorbed = sorted(int(s) for s in (ann.get("absorbed") or []))
+    for s in ann.get("absorbed_dirs") or []:
+        fold = (
+            spark.read.parquet(
+                os.path.join(index_dir, VECTOR_ANN_FOLDS_DIR, f"fold={s}")
+            )
+            .where(F.col("cell").isin(probe))
+            .drop("cell")
+            .withColumn("_aseg", F.lit(int(s)))
         )
-    seg_live = _live_segment_rows(spark, index_dir, cols)
+        cand = cand.unionByName(fold)
+    cols = [c for c in cand.columns if c != "_aseg"]
+    ts = DS._read_all_segments(
+        spark, index_dir, DS.VECTOR_TS_DIR, keep_seg=True
+    )
+    if ts is not None:
+        # seg-ordered aliveness (the vector_view rule): a candidate row is
+        # live iff its origin seg ≥ the path's latest tombstone seg — so a
+        # tombstone kills base + older absorbed copies but never the newer
+        # absorbed row it refreshed
+        latest = ts.groupBy("path").agg(
+            F.max(F.col("seg").cast("int")).alias("_ts_seg")
+        )
+        cand = (
+            cand.join(F.broadcast(latest), "path", "left")
+            .where(
+                F.col("_ts_seg").isNull()
+                | (F.col("_aseg") >= F.col("_ts_seg"))
+            )
+            .drop("_ts_seg")
+        )
+    cand = cand.drop("_aseg")
+    seg_live = _live_segment_rows(
+        spark, index_dir, cols, after_seg=absorbed[-1] if absorbed else -1
+    )
     if seg_live is not None:
         cand = cand.unionByName(seg_live)
     return semantic_search_chunks(cand, qv, top_k, doc_col="path")

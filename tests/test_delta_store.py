@@ -826,8 +826,17 @@ def test_write_lock_is_sibling_and_survives_overwrite_build(spark, tmp_path):
         client.create_index("lk", corpus, num_buckets=8, overwrite=True)
         assert os.stat(lock_path).st_ino == ino_before
 
+    # delete takes the lock (a mid-commit writer elsewhere must finish
+    # first) and deliberately LEAVES the lock file behind: unlinking it —
+    # even while held — lets the next build_index open a fresh inode while
+    # a queued waiter still holds the old one, i.e. two concurrent
+    # "exclusive" writers (ADVICE r04)
     client.delete_index("lk")
-    assert not os.path.exists(lock_path)  # sibling cleaned up with the index
+    assert not os.path.exists(idx_dir)
+    assert os.path.exists(lock_path)
+    # recreating the index reuses the same lock path cleanly
+    client.create_index("lk", corpus, num_buckets=8)
+    client.delete_index("lk")
 
 
 def test_manifest_commit_is_atomic_rename(spark, tmp_path):

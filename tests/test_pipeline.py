@@ -369,15 +369,18 @@ def test_multimodal_plumbing(spark):
     )
 
     media = synthetic_media_df(spark, n=30, seed=7)
-    try:  # without PIL the non-fake path is stub-gated at the driver
+    try:
         import PIL  # noqa: F401
 
         has_pil = True
     except ImportError:
         has_pil = False
     if not has_pil:
-        with pytest.raises(NotImplementedError):
-            decode_image_batch(media).collect()
+        # without PIL, non-PNG payloads fail at ACTION time inside the
+        # executor (Spark wraps the NotImplementedError); the synthetic
+        # media payloads are hash garbage, not PNGs
+        with pytest.raises(Exception, match="PNG|NotImplementedError"):
+            decode_image_batch(media.where("kind = 'image'")).collect()
 
     feats = decode_image_batch(media, deterministic_fake=True)
     rows = feats.collect()
@@ -422,12 +425,53 @@ def test_multimodal_plumbing(spark):
     assert top[0]["id"] == erows[0]["media_id"] and top[0]["cosine"] == 1.0
 
 
+def _make_png(width, height, rgb, *, rgba=False, filters=(0,)):
+    """Hand-crafted PNG via stdlib only (zlib + struct): solid color,
+    cycling through the given scanline filter types."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ch = 4 if rgba else 3
+    px = bytes(rgb) + (b"\xff" if rgba else b"")
+    raw = bytearray()
+    prev = bytes(width * ch)
+    for y in range(height):
+        f = filters[y % len(filters)]
+        line = px * width
+        if f == 0:
+            enc = line
+        elif f == 2:  # Up: delta vs previous reconstructed line
+            enc = bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+        else:
+            raise ValueError("test writer supports filters 0 and 2 only")
+        raw += bytes([f]) + enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if rgba else 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def test_real_decode_golden_contract(spark):
-    """VERDICT r03 #8: when PIL is installed, a tiny REAL PNG decodes
-    through the SAME mapInPandas plumbing and FEATURES_SCHEMA as the
-    deterministic fake — proving the stub gate is the only delta between
-    the two paths.  Skipped (never failed) where PIL is absent; the schema
-    contract itself is asserted unconditionally first."""
+    """VERDICT r03 #8 / r04 #4: a tiny REAL PNG decodes through the SAME
+    mapInPandas plumbing and FEATURES_SCHEMA as the deterministic fake —
+    proving the stub gate is the only delta between the two paths.  Runs
+    in-sandbox WITHOUT PIL via the stdlib PNG fallback; with PIL installed
+    the same goldens exercise the PIL branch and must hash identically
+    (the RGB-byte contract is decoder-independent)."""
+    import hashlib
+
     from bm25_index_tool_spark.pipeline.multimodal import (
         FEATURES_SCHEMA,
         MEDIA_SCHEMA,
@@ -441,19 +485,35 @@ def test_real_decode_golden_contract(spark):
     )
     assert fake.schema == FEATURES_SCHEMA
 
-    Image = pytest.importorskip("PIL.Image")
-    import io
-
-    img = Image.new("RGB", (37, 21), (250, 10, 10))
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    payload = buf.getvalue()
+    # golden 1: RGB, filter-0 scanlines; golden 2: RGBA (alpha dropped on
+    # convert), alternating filter types 0/2
+    p1 = _make_png(37, 21, (250, 10, 10))
+    p2 = _make_png(16, 9, (7, 200, 33), rgba=True, filters=(0, 2))
     df = spark.createDataFrame(
-        [(0, "image", bytearray(payload), "image/png", len(payload))],
+        [
+            (0, "image", bytearray(p1), "image/png", len(p1)),
+            (1, "image", bytearray(p2), "image/png", len(p2)),
+        ],
         MEDIA_SCHEMA,
     )
     real = decode_image_batch(df)  # real path: no deterministic_fake
     assert real.schema == FEATURES_SCHEMA
-    row = real.collect()[0]
-    assert (row["width"], row["height"], row["n_frames"]) == (37, 21, 1)
-    assert len(row["feature_hash"]) == 16
+    rows = {r["media_id"]: r for r in real.collect()}
+    assert (rows[0]["width"], rows[0]["height"], rows[0]["n_frames"]) == (37, 21, 1)
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_frames"]) == (16, 9, 1)
+    # the feature hash is pinned to the exact RGB bytes — decoder-agnostic
+    want0 = hashlib.sha256(bytes((250, 10, 10)) * (37 * 21)).hexdigest()[:16]
+    want1 = hashlib.sha256(bytes((7, 200, 33)) * (16 * 9)).hexdigest()[:16]
+    assert rows[0]["feature_hash"] == want0
+    assert rows[1]["feature_hash"] == want1
+
+    # the stdlib fallback itself decodes both goldens bit-exactly even
+    # when PIL IS available (keeps the fallback from rotting)
+    from bm25_index_tool_spark.pipeline.multimodal import _png_decode_stdlib
+
+    w, h, px = _png_decode_stdlib(p2)
+    assert (w, h) == (16, 9)
+    assert hashlib.sha256(px).hexdigest()[:16] == want1
+    # non-PNG payloads stay stub-gated in the fallback
+    with pytest.raises(NotImplementedError, match="PNG"):
+        _png_decode_stdlib(b"\xff\xd8\xff JPEG-ish garbage")

@@ -322,6 +322,115 @@ def test_vector_ann_semantic_search(spark, tmp_path):
     assert [tuple(r) for r in full2] == [tuple(r) for r in scan2]
 
 
+def test_vector_ann_fold_absorption(spark, tmp_path):
+    """VERDICT r04 #7: tiered merge absorbs the merged vector segment into
+    cell-partitioned ANN fold dirs (cells assigned against the EXISTING
+    centroids — no re-clustering), so steady-state tiered compaction keeps
+    the probe live AND bounded: after a merge the un-pruned union tail is
+    empty, later appends ride it until the next merge, and each absorption
+    supersedes the previous fold dir.  Seg-ordered aliveness must hold
+    across folds: a later modification's tombstone kills the absorbed copy
+    while the newer row survives."""
+    import os
+
+    from bm25_index_tool_spark import corpus as C
+    from bm25_index_tool_spark.client import BM25SparkClient
+
+    hot1a = "benthic oscillation ledger"
+    hot1b = "glowworm cartography almanac"
+    hot1c = "isotope marzipan flotilla"
+    hotadd = "quasar bagpipe terrarium"
+    base = C.generate_rows(24, seed=23) + [
+        ("rf", "keep/f.txt", "c1", "txt", hot1a)
+    ]
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    client.create_index(
+        "vf", spark.createDataFrame(base, C.CORPUS_SCHEMA),
+        num_buckets=4, build_vector_index=True,
+    )
+    idx_dir = client._index_dir("vf")
+    meta = client.build_vector_ann("vf", m=8)
+
+    # two append updates → two segments
+    cur1 = [r for r in base if r[1] != "keep/f.txt"] + [
+        ("rf", "keep/f.txt", "c2", "txt", hot1b),
+        ("rf", "keep/add.txt", "c2", "txt", hotadd),
+    ]
+    client.update_index("vf", spark.createDataFrame(cur1, C.CORPUS_SCHEMA))
+    cur2 = [
+        (r[0], r[1], r[2], r[3], r[4] + " tick") if i == 3 else r
+        for i, r in enumerate(cur1)
+    ]
+    client.update_index("vf", spark.createDataFrame(cur2, C.CORPUS_SCHEMA))
+
+    # tiered merge (2 segments → fold both) + absorption
+    client.compact_index("vf", tiered=True)
+    ann2 = V._load_ann_meta(idx_dir)
+    assert ann2["absorbed"] == ann2["absorbed_dirs"] != []
+    fold = ann2["absorbed"][0]
+    assert os.path.isdir(
+        os.path.join(idx_dir, V.VECTOR_ANN_FOLDS_DIR, f"fold={fold}")
+    )
+    # the merged segment is fully absorbed: the probe's un-pruned union
+    # tail is EMPTY
+    assert (
+        V._live_segment_rows(
+            spark, idx_dir, ["path"], after_seg=fold
+        )
+        is None
+    )
+    # probe still served by ANN (auto → ivf), full-probe ≡ exact scan
+    q = "kubernetes networking"
+    scan = V.semantic_search_index(spark, idx_dir, q, 10, method="scan").collect()
+    full = V.semantic_search_index(
+        spark, idx_dir, q, 10, method="ivf", nprobe=meta["m"]
+    ).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in scan]
+    top = client.search_semantic("vf", hot1b, top_k=1)  # auto path
+    assert top[0]["path"] == "rf/keep/f.txt"
+    assert top[0]["score"] == pytest.approx(1.0)
+    addhit = client.search_semantic("vf", hotadd, top_k=1)
+    assert addhit[0]["path"] == "rf/keep/add.txt"
+    gone = V.semantic_search_index(
+        spark, idx_dir, hot1a, 5, method="ivf", nprobe=meta["m"]
+    ).collect()
+    assert all(r["chunk_text"] != hot1a for r in gone)
+
+    # a post-merge append lands in the live tail; its tombstone must kill
+    # the ABSORBED copy (seg-ordered aliveness across fold dirs)
+    cur3 = [r for r in cur2 if r[1] != "keep/f.txt"] + [
+        ("rf", "keep/f.txt", "c3", "txt", hot1c)
+    ]
+    client.update_index("vf", spark.createDataFrame(cur3, C.CORPUS_SCHEMA))
+    top = client.search_semantic("vf", hot1c, top_k=1)
+    assert top[0]["path"] == "rf/keep/f.txt"
+    assert top[0]["score"] == pytest.approx(1.0)
+    gone = V.semantic_search_index(
+        spark, idx_dir, hot1b, 5, method="ivf", nprobe=meta["m"]
+    ).collect()
+    assert all(r["chunk_text"] != hot1b for r in gone)
+
+    # second tiered merge supersedes the first fold dir
+    client.compact_index("vf", tiered=True)
+    ann3 = V._load_ann_meta(idx_dir)
+    fold2 = ann3["absorbed"][0]
+    assert fold2 > fold
+    assert not os.path.exists(
+        os.path.join(idx_dir, V.VECTOR_ANN_FOLDS_DIR, f"fold={fold}")
+    )
+    scan2 = V.semantic_search_index(spark, idx_dir, q, 10, method="scan").collect()
+    full2 = V.semantic_search_index(
+        spark, idx_dir, q, 10, method="ivf", nprobe=meta["m"]
+    ).collect()
+    assert [tuple(r) for r in full2] == [tuple(r) for r in scan2]
+    assert client.search_semantic("vf", hot1c, top_k=1)[0]["score"] == pytest.approx(1.0)
+
+    # FULL compaction still flips the fingerprint → documented rebuild
+    client.compact_index("vf")
+    with pytest.raises(ValueError, match="stale"):
+        V.semantic_search_index(spark, idx_dir, hot1c, 1, method="ivf")
+
+
 def test_vector_rebuild_clears_segments_and_fingerprint(spark, tmp_path):
     """Re-running build_vector_index folds the live view (base ∪ segments)
     into a NEW base: outstanding vector segments/tombstones must be
