@@ -202,6 +202,21 @@ def main() -> None:
             timings["query_p95"] = round(lat_sorted[max(0, int(len(lat) * 0.95) - 1)], 3)
             timings["query_total"] = round(sum(lat), 3)
 
+            # -- query sub-stage split (VERDICT r04 #5): attribute the
+            # large-corpus single-query floor.  Each sub-plan runs as its
+            # own job, so a stage's wall time INCLUDES its upstream — read
+            # the DELTAS: scored≈postings scan+joins+agg; topk−scored≈
+            # global top-k; full−topk≈winners/docs fetch (DPP-pruned r05).
+            from bm25_index_tool_spark.score import score_stage_frames
+
+            stages = score_stage_frames(index, QUERIES[0], 10)
+            for sname, frame in stages.items():
+                t = time.monotonic()
+                frame.collect()
+                timings[f"query_stage_{sname}"] = round(
+                    time.monotonic() - t, 3
+                )
+
         t = time.monotonic()
         score_query_batch(index, QUERIES, 10).collect()
         timings["batch_queries"] = round(time.monotonic() - t, 3)

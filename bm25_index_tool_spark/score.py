@@ -235,6 +235,25 @@ def score_query(
     return score_tokens(index, tokens, top_k, include_content=include_content)
 
 
+def score_stage_frames(
+    index: LoadedIndex, query: str, top_k: int = 10
+) -> dict[str, DataFrame]:
+    """Diagnostic sub-plans of the scorer for stage attribution (bench.py
+    query_stage_*; VERDICT r04 #5).  Each frame re-runs its upstream when
+    actioned, so interpret timings as deltas: ``scored_count`` ≈ postings
+    scan + broadcast joins + conjunctive agg over ALL matches; ``topk`` −
+    that ≈ global top-k; ``full`` − ``topk`` ≈ the winners/docs fetch."""
+    tokens = tokenize_fts5_query(query)
+    plan = _score_plan(index, tokens, top_k, include_content=False)
+    return {
+        "scored_count": plan["scored"].agg(
+            F.count("*").alias("n_matches")
+        ),
+        "topk": plan["topk"],
+        "full": plan["full"],
+    }
+
+
 def score_tokens(
     index: LoadedIndex,
     tokens: list[str],
@@ -242,6 +261,15 @@ def score_tokens(
     *,
     include_content: bool = True,
 ) -> DataFrame:
+    return _score_plan(index, tokens, top_k, include_content)["full"]
+
+
+def _score_plan(
+    index: LoadedIndex,
+    tokens: list[str],
+    top_k: int,
+    include_content: bool,
+) -> dict[str, DataFrame]:
     spark = index.spark
     m = index.manifest
     k1, b = m.params.k1, m.params.b
@@ -310,7 +338,7 @@ def score_tokens(
         .withColumnRenamed("full_path", "path")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
-    return result
+    return {"scored": scored, "topk": topk, "full": result}
 
 
 def score_query_batch(

@@ -136,3 +136,82 @@ def test_lsm_soak_random_schedule(spark, tmp_path):
     _apply(4, 3, 4, step=5)
     client.compact_index("soak")
     _assert_oracle_identical(client, "soak", state, "5/final")
+
+
+def test_streaming_soak_random_schedule(spark, tmp_path):
+    """VERDICT r04 #9: the one mutation path the LSM soak doesn't drive —
+    ``stream_index_updates`` micro-batches — against the same FTS5 oracle.
+    A seeded schedule of streamed add/modify waves (each wave = one new
+    source parquet file, drained by an availableNow trigger) with
+    ``auto_compact_segments=2`` so TIERED merges fire mid-stream, plus an
+    out-of-band full-mode reconcile that DELETES rows between drains
+    (upsert semantics make absence ≠ deletion by design — deletes arrive
+    via reconcile in this topology).  Rank-identity is asserted after every
+    drain."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bm25_index_tool_spark.streaming import stream_index_updates
+
+    rng = random.Random(41)
+    client = BM25SparkClient(spark, str(tmp_path / "root"))
+    state = {_key(r): r for r in C.generate_rows(30, seed=77)}
+    client.create_index(
+        "ssoak",
+        spark.createDataFrame(list(state.values()), C.CORPUS_SCHEMA),
+        num_buckets=8,
+    )
+    idx_dir = client._index_dir("ssoak")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cols = ["repo", "path", "commit", "lang", "content"]
+
+    def _wave(name, rows):
+        pq.write_table(
+            pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)}),
+            os.path.join(src, name),
+        )
+
+    next_add = 0
+
+    def _stream_step(n_add, n_mod, step):
+        nonlocal next_add
+        changed = []
+        for k in rng.sample(list(state), min(n_mod, len(state))):
+            r = state[k]
+            state[k] = (r[0], r[1], r[2], r[3], r[4] + f" streamling{step}")
+            changed.append(state[k])
+        fresh = _fresh_rows(n_add, 5000 + next_add)
+        next_add += n_add
+        for r in fresh:
+            state[_key(r)] = r
+            changed.append(r)
+        _wave(f"wave{step}.parquet", changed)
+        q = stream_index_updates(
+            spark, idx_dir, src,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True, auto_compact_segments=2,
+        )
+        q.awaitTermination(300)
+        # refresh the client's handle view after out-of-band writes
+        _assert_oracle_identical(client, "ssoak", state, f"stream-{step}")
+
+    _stream_step(3, 2, 0)
+    _stream_step(2, 3, 1)  # segment count hits 2 → tiered merge fires here
+
+    # out-of-band reconcile: delete 4 rows (absence in a FULL-mode update)
+    for k in rng.sample(list(state), 4):
+        del state[k]
+    client.update_index(
+        "ssoak", spark.createDataFrame(list(state.values()), C.CORPUS_SCHEMA)
+    )
+    _assert_oracle_identical(client, "ssoak", state, "reconcile-delete")
+
+    _stream_step(2, 2, 2)  # stream again over the post-reconcile state
+    _stream_step(0, 3, 3)  # modify-only wave; another auto tiered merge
+
+    # end state: full fold, identity holds
+    client.compact_index("ssoak")
+    _assert_oracle_identical(client, "ssoak", state, "final/post-compact")
