@@ -107,6 +107,7 @@ def main() -> None:
     from bm25_index_tool_spark.score import LoadedIndex, score_query, score_query_batch
 
     timings: dict[str, float] = {}
+    diag: dict[str, float] = {}  # instrumentation rows excluded from the total
 
     # -- corpus: sf documents replicated with distinct paths -----------------
     # Shuffle-free replication: spark.range gives exactly `partitions`
@@ -213,7 +214,10 @@ def main() -> None:
             for sname, frame in stages.items():
                 t = time.monotonic()
                 frame.collect()
-                timings[f"query_stage_{sname}"] = round(
+                # diagnostics dict, NOT timings: the suite total must stay
+                # comparable round-over-round — adding instrumented collects
+                # to the summed dict would be a self-inflicted "regression"
+                diag[f"query_stage_{sname}"] = round(
                     time.monotonic() - t, 3
                 )
 
@@ -547,7 +551,7 @@ def main() -> None:
                 "unit": "sec",
                 "gated": overall_steal <= steal_gate,
                 "steal_gate_pct": steal_gate,
-                "queries": timings,
+                "queries": {**timings, **diag},
                 "sf": sf,
                 "n_files_built": n_files,
                 "files_per_sec": round(files_per_sec, 1),

@@ -250,22 +250,25 @@ class BM25SparkClient:
         reg = self._read_registry()
         if name not in reg:
             raise ValueError(f"Index '{name}' not found")
-        del reg[name]
-        self._write_registry(reg)
-        self._drop_open(name)
         from bm25_index_tool_spark.delta_store import (
             invalidate_stored_projection,
             write_lock,
         )
 
-        # take the write lock before destroying the dir: a writer in
-        # another process mid-commit must finish (or time out) first —
-        # rmtree under its feet would tear half-committed state (ADVICE
-        # r04).  The sibling lock FILE is deliberately left behind:
-        # unlinking it (even while held) lets the next build_index open a
-        # FRESH inode while a queued waiter still holds the old one — two
-        # concurrent "exclusive" writers.  A few stale bytes beat that.
+        # take the write lock before ANY mutation: a writer in another
+        # process mid-commit must finish (or time out) first — rmtree under
+        # its feet would tear half-committed state, and unregistering
+        # before a lock timeout would strand a live data dir with no
+        # registry entry (undeletable, and a later same-name create would
+        # compose its stale segments into the new index).  The sibling
+        # lock FILE is deliberately left behind: unlinking it (even while
+        # held) lets the next build_index open a FRESH inode while a
+        # queued waiter still holds the old one — two concurrent
+        # "exclusive" writers.  A few stale bytes beat that. (ADVICE r04)
         with write_lock(self._index_dir(name)):
+            del reg[name]
+            self._write_registry(reg)
+            self._drop_open(name)
             invalidate_stored_projection(self._index_dir(name))
             shutil.rmtree(self._index_dir(name), ignore_errors=True)
         self.cache.clear()
@@ -361,6 +364,24 @@ class BM25SparkClient:
                 "embedding_model": model,
                 "dimensions": dim,
             }
+            from bm25_index_tool_spark.vector import (
+                _load_ann_meta,
+                _vector_base_fingerprint,
+            )
+
+            ann = _load_ann_meta(idx_dir)
+            if ann is not None:
+                out["vector_metadata"]["ann"] = {
+                    "m": ann.get("m"),
+                    "quantizer": ann.get("quantizer"),
+                    "nprobe_default": ann.get("nprobe_default"),
+                    # tiered-merge fold dirs currently serving the probe
+                    "absorbed_folds": ann.get("absorbed") or [],
+                    # stale ⇒ auto falls back to the exact scan until
+                    # build_vector_ann is re-run (full compaction does this)
+                    "fresh": ann.get("base_fingerprint")
+                    == _vector_base_fingerprint(idx_dir),
+                }
         return out
 
     # -- search --------------------------------------------------------------
@@ -469,12 +490,27 @@ class BM25SparkClient:
                 base = wand_search(idx, query, top_k)
                 if need_content:
                     # ≤k winners fetch content: broadcast the tiny side so
-                    # the full docs table is never shuffled (mirrors
-                    # score.py's winners join; at 10^9 docs a missed
-                    # broadcast here is a full shuffle — VERDICT r04 #3)
-                    base = F.broadcast(base).join(
-                        idx.docs().select("doc_id", "content"), "doc_id"
-                    ).orderBy(F.desc("score"), F.asc("doc_id"))
+                    # the full docs table is never shuffled (VERDICT r04
+                    # #3), and join on doc_pt too so the widest column's
+                    # scan is DPP-pruned to ≤k partitions like every other
+                    # winners fetch
+                    from bm25_index_tool_spark.score import (
+                        with_winner_doc_pt,
+                    )
+
+                    docs = idx.docs()
+                    winners, jk = with_winner_doc_pt(
+                        base, docs, idx.manifest.num_buckets
+                    )
+                    sel = ["doc_id", "content"]
+                    if "doc_pt" in jk:
+                        sel.append("doc_pt")
+                    base = (
+                        F.broadcast(winners)
+                        .join(docs.select(*sel), jk)
+                        .drop("doc_pt")
+                        .orderBy(F.desc("score"), F.asc("doc_id"))
+                    )
                 return base.collect()
             return score_query(
                 idx, query, top_k, include_content=need_content

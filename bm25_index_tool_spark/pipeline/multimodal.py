@@ -100,8 +100,15 @@ def _png_decode_stdlib(payload: bytes) -> tuple[int, int, bytes]:
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = bytes(payload[pos + 4 : pos + 8])
         data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            # truncated mid-chunk: keep the NotImplementedError contract —
+            # executor tasks must not surface struct/zlib/Index errors that
+            # Spark retries 4× before failing (code-review r05)
+            raise NotImplementedError("truncated PNG (short chunk)")
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if length != 13:
+                raise NotImplementedError("truncated PNG (bad IHDR)")
             width, height, depth, color_type, _c, _f, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
@@ -117,9 +124,14 @@ def _png_decode_stdlib(payload: bytes) -> tuple[int, int, bytes]:
             break
     if width is None or not idat:
         raise NotImplementedError("truncated PNG (no IHDR/IDAT)")
-    raw = zlib.decompress(b"".join(bytes(d) for d in idat))
+    try:
+        raw = zlib.decompress(b"".join(bytes(d) for d in idat))
+    except zlib.error as e:
+        raise NotImplementedError(f"corrupt PNG IDAT ({e})") from e
     ch = {0: 1, 2: 3, 6: 4}[color_type]
     stride = width * ch
+    if len(raw) < height * (1 + stride):
+        raise NotImplementedError("truncated PNG (short pixel stream)")
     out = bytearray()
     prev = bytearray(stride)
     p2 = 0

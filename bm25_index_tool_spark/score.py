@@ -235,6 +235,30 @@ def score_query(
     return score_tokens(index, tokens, top_k, include_content=include_content)
 
 
+def with_winner_doc_pt(
+    topk: DataFrame, docs: DataFrame, num_buckets: int
+) -> tuple[DataFrame, list[str]]:
+    """Derive the docs table's partition key on a ≤k-row winners frame and
+    return (winners, join_keys): joining the broadcast winners on
+    (doc_id, doc_pt) makes Catalyst emit DynamicPartitionPruning on the
+    docs scan — the content fetch reads ≤k partitions instead of the whole
+    table (VERDICT r04 #5).  ONE owner for the formula, which must stay
+    the build-side twin of build.py's doc_pt assignment
+    (pmod(doc_id, num_buckets)); a mismatch would silently drop winners.
+    Legacy pre-doc_pt bases join on doc_id alone."""
+    if "doc_pt" not in docs.columns:
+        return topk, ["doc_id"]
+    return (
+        topk.withColumn(
+            "doc_pt",
+            F.pmod(F.col("doc_id"), F.lit(num_buckets)).cast(
+                docs.schema["doc_pt"].dataType
+            ),
+        ),
+        ["doc_id", "doc_pt"],
+    )
+
+
 def score_stage_frames(
     index: LoadedIndex, query: str, top_k: int = 10
 ) -> dict[str, DataFrame]:
@@ -314,22 +338,9 @@ def _score_plan(
     if include_content:
         doc_cols.append("content")
     docs = index.docs()
-    join_keys = ["doc_id"]
-    if "doc_pt" in docs.columns:
-        # derive the winners' partition values and join on doc_pt too:
-        # Catalyst turns that into DynamicPartitionPruning on the docs scan
-        # (PartitionFilters: doc_pt IN dynamicpruning#N) — the winners
-        # fetch reads ≤k partitions instead of the whole docs table, the
-        # step that grows O(corpus) at 5.12M+ docs (VERDICT r04 #5).  Same
-        # formula as the build's partitioning (build.py doc_pt assignment).
-        topk = topk.withColumn(
-            "doc_pt",
-            F.pmod(F.col("doc_id"), F.lit(m.num_buckets)).cast(
-                docs.schema["doc_pt"].dataType
-            ),
-        )
+    topk, join_keys = with_winner_doc_pt(topk, docs, m.num_buckets)
+    if "doc_pt" in join_keys:
         doc_cols.append("doc_pt")
-        join_keys.append("doc_pt")
     result = (
         docs
         .select(*doc_cols)
@@ -408,18 +419,10 @@ def score_query_batch(
         .select("query_id", "query", "doc_id", "score", "rank")
     )
     alldocs = index.docs()
-    join_keys = ["doc_id"]
+    topk, join_keys = with_winner_doc_pt(topk, alldocs, m.num_buckets)
     sel = ["doc_id", F.col("full_path").alias("path")]
-    if "doc_pt" in alldocs.columns:
-        # DPP on the winners fetch, as in score_tokens (VERDICT r04 #5)
-        topk = topk.withColumn(
-            "doc_pt",
-            F.pmod(F.col("doc_id"), F.lit(m.num_buckets)).cast(
-                alldocs.schema["doc_pt"].dataType
-            ),
-        )
+    if "doc_pt" in join_keys:
         sel.insert(1, F.col("doc_pt"))
-        join_keys.append("doc_pt")
     docs = alldocs.select(*sel)
     # broadcast the ≤ n_queries×k winners (matches the single-query path;
     # VERDICT r02 #5: without the hint, pre-AQE stats on a window output are

@@ -651,6 +651,21 @@ def absorb_merged_segment_into_ann(
     final = os.path.join(folds_root, f"fold={fold_seg}")
     staging = final + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
+    # clear crash orphans: fold dirs not recorded in the meta (a previous
+    # absorption died between the dir move and the meta swap) — the probe
+    # ignores them, but they'd leak forever otherwise
+    recorded = {int(s) for s in (meta.get("absorbed_dirs") or [])}
+    if os.path.isdir(folds_root):
+        for d in os.listdir(folds_root):
+            if d.startswith("fold=") and not d.endswith(".staging"):
+                try:
+                    fid = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if fid not in recorded and fid != fold_seg:
+                    shutil.rmtree(
+                        os.path.join(folds_root, d), ignore_errors=True
+                    )
 
     seg = DS._read_all_segments(
         spark, index_dir, DS.VECTOR_SEG_DIR, keep_seg=True
@@ -770,20 +785,28 @@ def semantic_search_index(
     )
 
     ann = _load_ann_meta(index_dir)
-    fresh = (
-        ann is not None
-        and ann.get("base_fingerprint") == _vector_base_fingerprint(index_dir)
-        # every absorbed fold dir must exist (a half-cleaned absorption
-        # degrades to the scan rather than losing rows)
-        and all(
-            os.path.exists(
-                os.path.join(
-                    index_dir, VECTOR_ANN_FOLDS_DIR, f"fold={s}"
-                )
-            )
-            for s in (ann.get("absorbed_dirs") or [])
+    from bm25_index_tool_spark import delta_store as DS
+
+    fold_ok = ann is not None and all(
+        os.path.exists(
+            os.path.join(index_dir, VECTOR_ANN_FOLDS_DIR, f"fold={s}")
         )
+        for s in (ann.get("absorbed_dirs") or [])
     )
+    if ann is not None and fold_ok and (ann.get("absorbed") or []):
+        # a fold dir is only usable while its segment id still EXISTS: if a
+        # later merge folded seg f1 into f2 but absorption failed before
+        # the meta swap, the live tail (> f1) now CONTAINS f1's rows — the
+        # fold=f1 dir would double-count every never-tombstoned path.
+        # Degrade to ignoring the folds (correct, just less pruned).
+        fold_ok = set(ann["absorbed"]) <= set(DS.segment_ids(index_dir))
+    fresh = ann is not None and ann.get(
+        "base_fingerprint"
+    ) == _vector_base_fingerprint(index_dir)
+    if ann is not None and not fold_ok:
+        ann = dict(ann)
+        ann["absorbed"] = []
+        ann["absorbed_dirs"] = []
     if method == "auto":
         method = "ivf" if fresh else "scan"
     if method == "scan":

@@ -275,21 +275,16 @@ def wand_search(index: LoadedIndex, query: str, top_k: int = 10):
 
     local = local_topk_from_blocks(blocks, weights, k1, b, avgdl, top_k)
     topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
+    from bm25_index_tool_spark.score import with_winner_doc_pt
+
     alldocs = index.docs()
-    join_keys = ["doc_id"]
+    topk, join_keys = with_winner_doc_pt(
+        topk, alldocs, index.manifest.num_buckets
+    )
     sel = ["doc_id", F.col("full_path").alias("path"), "filename",
            "content_sha256"]
-    if "doc_pt" in alldocs.columns:
-        # join on doc_pt too → DynamicPartitionPruning on the docs scan
-        # (winners fetch reads ≤k partitions; same as score_tokens)
-        topk = topk.withColumn(
-            "doc_pt",
-            F.pmod(F.col("doc_id"), F.lit(index.manifest.num_buckets)).cast(
-                alldocs.schema["doc_pt"].dataType
-            ),
-        )
+    if "doc_pt" in join_keys:
         sel.insert(1, F.col("doc_pt"))
-        join_keys.append("doc_pt")
     docs = alldocs.select(*sel)
     return (
         docs.join(F.broadcast(topk), join_keys)

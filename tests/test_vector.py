@@ -410,6 +410,10 @@ def test_vector_ann_fold_absorption(spark, tmp_path):
     ).collect()
     assert all(r["chunk_text"] != hot1b for r in gone)
 
+    # info() surfaces the ANN maintenance state (no Spark jobs)
+    inf = client.info("vf")["vector_metadata"]["ann"]
+    assert inf["fresh"] is True and inf["absorbed_folds"] == [fold]
+
     # second tiered merge supersedes the first fold dir
     client.compact_index("vf", tiered=True)
     ann3 = V._load_ann_meta(idx_dir)
@@ -424,6 +428,35 @@ def test_vector_ann_fold_absorption(spark, tmp_path):
     ).collect()
     assert [tuple(r) for r in full2] == [tuple(r) for r in scan2]
     assert client.search_semantic("vf", hot1c, top_k=1)[0]["score"] == pytest.approx(1.0)
+
+    # failed absorption at a LATER merge must not double-count: the old
+    # fold dir's rows are inside the new merged segment, so the probe has
+    # to detect the stale fold (its seg id no longer exists) and degrade
+    # to ignoring fold dirs (code-review r05 finding #1)
+    cur4 = [
+        (r[0], r[1], r[2], r[3], r[4] + " postfold") if i == 5 else r
+        for i, r in enumerate(cur3)
+    ]
+    client.update_index("vf", spark.createDataFrame(cur4, C.CORPUS_SCHEMA))
+    from bm25_index_tool_spark import delta_store as DS
+
+    def _boom(*a, **kw):
+        raise RuntimeError("absorption failure injected")
+
+    orig = V.absorb_merged_segment_into_ann
+    V.absorb_merged_segment_into_ann = _boom
+    try:
+        assert DS.merge_segments(spark, idx_dir) >= 2  # fold happened
+    finally:
+        V.absorb_merged_segment_into_ann = orig
+    ann_fail = V._load_ann_meta(idx_dir)
+    assert ann_fail["absorbed"] == [fold2]  # meta still points at old fold
+    assert fold2 not in DS.segment_ids(idx_dir)  # ...whose seg is gone
+    scan3 = V.semantic_search_index(spark, idx_dir, q, 10, method="scan").collect()
+    full3 = V.semantic_search_index(
+        spark, idx_dir, q, 10, method="ivf", nprobe=meta["m"]
+    ).collect()
+    assert [tuple(r) for r in full3] == [tuple(r) for r in scan3]
 
     # FULL compaction still flips the fingerprint → documented rebuild
     client.compact_index("vf")

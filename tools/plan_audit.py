@@ -374,9 +374,13 @@ def main() -> None:
 
     BL.build_blocks(spark, idx_dir, num_shards=4)
     index = LoadedIndex.open(spark, idx_dir)  # reopen: blocks now exist
+    from bm25_index_tool_spark.score import with_winner_doc_pt
+
     wq = wand_search(index, "kubernetes networking", 10)
-    wc = F.broadcast(wq).join(
-        index.docs().select("doc_id", "content"), "doc_id"
+    _docs_full = index.docs()
+    _w, _jk = with_winner_doc_pt(wq, _docs_full, index.manifest.num_buckets)
+    wc = F.broadcast(_w).join(
+        _docs_full.select("doc_id", "content", "doc_pt"), _jk
     )
     wc.collect()
     wbuf = io.StringIO()
