@@ -30,6 +30,7 @@ import json
 import os
 import shutil
 import time
+import dataclasses
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -38,10 +39,8 @@ from bm25_index_tool_spark.tokenize import token_count_unicode61, tokenizer_for
 
 INDEX_FORMAT_VERSION = 1
 DEFAULT_NUM_BUCKETS = 32
-import os as _os
-
 BROADCAST_IDS_THRESHOLD = int(
-    _os.environ.get("BM25_BROADCAST_IDS_THRESHOLD", "5000000")
+    os.environ.get("BM25_BROADCAST_IDS_THRESHOLD", "5000000")
 )
 
 DOCS_DIR = "docs"
@@ -97,7 +96,12 @@ class IndexManifest:
     def from_json(cls, s: str) -> "IndexManifest":
         d = json.loads(s)
         d["params"] = BM25Params(**d["params"])
-        m = cls(**d)
+        # forward compat: drop keys a NEWER engine may have added — a
+        # rollback (or mixed-version cluster on a shared index root) must
+        # still read every manifest (code-review r05); missing-field
+        # defaults below handle the backward direction
+        known = {f.name for f in dataclasses.fields(cls)}
+        m = cls(**{k: v for k, v in d.items() if k in known})
         if m.total_tokens < 0 and m.num_docs >= 0:
             # pre-field manifest: reconstruct from avgdl (exact — avgdl was
             # computed as total/num_docs in double, round-trips for realistic
@@ -168,7 +172,11 @@ def with_derived_columns(corpus: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(
+    corpus: DataFrame,
+    num_partitions: int | None = None,
+    cleanup: list | None = None,
+) -> DataFrame:
     """Deterministic contiguous ``doc_id`` (1-based, FTS5-rowid-like) without
     a driver bottleneck or an extra shuffle:
 
@@ -185,9 +193,15 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
     5. hash-join (repo, path, doc_id, derived cols) back to the full corpus
        — a plain JVM shuffle join that scales with cores/executors.
     """
-    keys, total = _narrow_ids(
+    keys, total, persisted = _narrow_ids(
         with_derived_columns(corpus.select("repo", "path")), num_partitions
     )
+    # the sorted-keys frame stays persisted (determinism under recompute);
+    # callers pass `cleanup` and unpersist once their writes materialize —
+    # otherwise every build/update pins one cached key table for the life
+    # of the session (code-review r05)
+    if cleanup is not None:
+        cleanup.append(persisted)
     # The ids table is narrow (repo, path, doc_id); broadcast it while it
     # fits so the full-width corpus (content!) never shuffles.  Past the
     # threshold a plain shuffle join takes over — the 10^12-file regime.
@@ -253,8 +267,10 @@ def _narrow_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
                 arrays + [ids], names=keep_names + ["doc_id"]
             )
 
-    return df.mapInArrow(_assign, out_schema).select(*out_cols), sum(
-        counts.values()
+    return (
+        df.mapInArrow(_assign, out_schema).select(*out_cols),
+        sum(counts.values()),
+        df,  # the persisted frame, for the caller's deferred unpersist
     )
 
 
@@ -433,44 +449,6 @@ def build_index(
         )
 
 
-def rebuild_from_identified(
-    spark: SparkSession,
-    docs_with_ids: DataFrame,
-    index_dir: str,
-    name: str = "default",
-    *,
-    tokenizer_profile: str = "unicode61",
-    params: BM25Params | None = None,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
-    source: dict | None = None,
-) -> IndexManifest:
-    """Rebuild an index from a corpus that already carries ``doc_id``
-    (incremental update path — preserves stable ids).  Builds into a
-    sibling temp dir, then atomically swaps, so the source index stays
-    readable throughout (Spark reads are lazy)."""
-    tmp_dir = index_dir.rstrip("/") + ".build-tmp"
-    # Materialize before the swap: the input may lazily read index_dir.
-    docs_with_ids = docs_with_ids.localCheckpoint(eager=True)
-    manifest = _build(
-        spark,
-        docs_with_ids,
-        tmp_dir,
-        name=name,
-        tokenizer_profile=tokenizer_profile,
-        params=params,
-        num_buckets=num_buckets,
-        num_partitions=None,
-        resume=False,
-        fail_after_stage=None,
-        source=source,
-        ids_preassigned=True,
-    )
-    if os.path.exists(index_dir):
-        shutil.rmtree(index_dir)
-    os.replace(tmp_dir, index_dir)
-    return manifest
-
-
 def _build(
     spark: SparkSession,
     corpus: DataFrame,
@@ -515,10 +493,11 @@ def _build(
     # to one partition.
     def _docs() -> dict:
         t_ids0 = time.monotonic()
+        _id_cache: list = []
         if ids_preassigned:
             ids = with_derived_columns(corpus).drop("_dirname", "_natint")
         else:
-            ids = assign_doc_ids(corpus, num_partitions)
+            ids = assign_doc_ids(corpus, num_partitions, cleanup=_id_cache)
         # sub-timing: assign_doc_ids runs the range-sample + counts jobs
         # eagerly; everything after is the derived-column + write job
         ids_sec = round(time.monotonic() - t_ids0, 4)
@@ -549,6 +528,8 @@ def _build(
             .parquet(docs_path)
         )
         rows = obs.get["rows"]
+        for _p in _id_cache:  # docs parquet is written; key cache done
+            _p.unpersist()
         if rows == 0:
             spark.createDataFrame([], out.schema).write.mode(
                 "overwrite"

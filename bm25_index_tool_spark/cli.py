@@ -64,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("name")
     c.add_argument("--corpus", required=True, help="parquet with (repo,path,commit,lang,content)")
     c.add_argument(
-        "--profile", default="unicode61",
+        "--profile", default=None,
         choices=["unicode61", "code", "code_lang"],
         help="tokenizer: unicode61 (FTS5-exact), code (identifier "
         "splitting), code_lang (identifier splitting only for code langs)",
@@ -250,7 +250,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"Created index '{args.name}': {m.num_docs} docs, avgdl {m.avgdl:.2f}")
     elif args.cmd == "query":
-        *names, query = args.names
+        if args.related_to:
+            # related-document search takes NO query string: every
+            # positional is an index name (previously the last one was
+            # consumed as a throwaway query — code-review r05)
+            names, query = args.names, ""
+        else:
+            *names, query = args.names
         if not names:
             p.error("usage: query <index...> <query>")
         if args.explain:
@@ -282,6 +288,25 @@ def main(argv: list[str] | None = None) -> int:
                 engine=args.engine,
             )
         else:
+            # multi-index search fuses join-engine results and supports
+            # none of these single-index options — error loudly instead of
+            # silently returning unfiltered/unfragmented results
+            # (code-review r05)
+            unsupported = [
+                flag
+                for flag, on in (
+                    ("--path-filter", bool(args.path_filter)),
+                    ("--exclude-path", bool(args.exclude_path)),
+                    ("--fragments", args.fragments),
+                    ("--engine blocks", args.engine == "blocks"),
+                )
+                if on
+            ]
+            if unsupported:
+                p.error(
+                    "multi-index query does not support: "
+                    + ", ".join(unsupported)
+                )
             results = client.search_multi(
                 names, query, args.top, merge_strategy=args.merge
             )
@@ -289,7 +314,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "batch":
         src = sys.stdin if args.input == "-" else open(args.input)
         queries = [ln.strip() for ln in src if ln.strip()]
-        rows = [r.asDict() for r in client.batch_search(args.name, queries, args.top).collect()]
+        rows = [r.asDict() for r in client.batch_search_rows(args.name, queries, args.top)]
         print(FMT.format_batch_jsonl(rows, queries))
     elif args.cmd == "update":
         from bm25_index_tool_spark.sources import read_corpus

@@ -68,6 +68,22 @@ class BM25SparkClient:
             json.dump(reg, f, indent=2, sort_keys=True)
         os.replace(tmp, self._registry_path())
 
+    def _registry_txn(self, mutate) -> None:
+        """Cross-process-safe read-modify-write of registry.json — the
+        same flock machinery as the per-index write lock, keyed on the
+        registry path and held only for the tiny read+mutate+write (never
+        while building).  Without it, create_index wrote back a registry
+        snapshot taken BEFORE its multi-minute build, erasing any entry a
+        concurrent process registered meanwhile (code-review r05).  Lock
+        order: always per-index lock BEFORE registry lock, never the
+        reverse — no deadlock."""
+        from bm25_index_tool_spark.delta_store import write_lock
+
+        with write_lock(self._registry_path()):
+            reg = self._read_registry()
+            mutate(reg)
+            self._write_registry(reg)
+
     def _index_dir(self, name: str) -> str:
         return os.path.join(self.root, "indices", name)
 
@@ -185,15 +201,17 @@ class BM25SparkClient:
                 self._index_dir(name),
                 embedder=self.config.default_embedder,
             )
-        reg[name] = {
-            "name": name,
-            "created_at": manifest.created_at,
-            "file_count": manifest.num_docs,
-            "index_version": manifest.index_version,
-            "tokenizer_profile": manifest.tokenizer_profile,
-            "bm25_params": manifest.params.__dict__,
-        }
-        self._write_registry(reg)
+        def _register(reg):
+            reg[name] = {
+                "name": name,
+                "created_at": manifest.created_at,
+                "file_count": manifest.num_docs,
+                "index_version": manifest.index_version,
+                "tokenizer_profile": manifest.tokenizer_profile,
+                "bm25_params": manifest.params.__dict__,
+            }
+
+        self._registry_txn(_register)
         self._drop_open(name)
         return manifest
 
@@ -210,9 +228,13 @@ class BM25SparkClient:
         manifest = apply_update(
             self.spark, self._index_dir(name), current, strategy=strategy
         )
-        reg = self._read_registry()
-        reg[name]["file_count"] = manifest.num_docs
-        self._write_registry(reg)
+        def _bump(reg):
+            # the entry may have been deleted by a concurrent process —
+            # don't resurrect a half-entry for a dead index
+            if name in reg:
+                reg[name]["file_count"] = manifest.num_docs
+
+        self._registry_txn(_bump)
         self._drop_open(name)
         self.cache.clear()
         return manifest
@@ -266,8 +288,7 @@ class BM25SparkClient:
         # queued waiter still holds the old one — two concurrent
         # "exclusive" writers.  A few stale bytes beat that. (ADVICE r04)
         with write_lock(self._index_dir(name)):
-            del reg[name]
-            self._write_registry(reg)
+            self._registry_txn(lambda r: r.pop(name, None))
             self._drop_open(name)
             invalidate_stored_projection(self._index_dir(name))
             shutil.rmtree(self._index_dir(name), ignore_errors=True)
@@ -564,6 +585,13 @@ class BM25SparkClient:
         per-index over-fetch ``fetch_k = max(100, 3*top_k)``, silently skip
         failing indices, fuse with the chosen strategy."""
         fetch_k = fusion.fetch_k_for(top_k)
+        # validate the QUERY up front: the per-index except below is for
+        # skipping failing INDICES; without this, an unsearchable query's
+        # tokenize ValueError was swallowed for every index and [] returned
+        # where single-index search() raises (code-review r05)
+        from bm25_index_tool_spark.tokenize import tokenize_fts5_query
+
+        tokenize_fts5_query(query)
 
         def _rows():
             per_index = []
@@ -693,6 +721,22 @@ class BM25SparkClient:
     ) -> DataFrame:
         """Set-at-a-time batch: ONE Spark job for all queries (SURVEY §2.9
         C3) — returns the (query_id, query, doc_id, path, score, rank)
-        DataFrame; callers may collect or write JSONL via ``.write.json``."""
+        DataFrame; callers may collect or write JSONL via ``.write.json``.
+        The frame is lazy — a full compaction racing its action can fail
+        the scan; use :meth:`batch_search_rows` for the retried collect."""
         idx = self._require(name)
         return score_query_batch(idx, queries, top_k)
+
+    def batch_search_rows(
+        self, name: str, queries: list[str], top_k: int = 10
+    ) -> list:
+        """batch_search + collect under the same stale-scan retry as every
+        other search path (_run_with_reopen): a concurrent full
+        compaction's base swap retries instead of crashing the batch
+        (code-review r05)."""
+        return self._run_with_reopen(
+            [name],
+            lambda: score_query_batch(
+                self._require(name), queries, top_k
+            ).collect(),
+        )

@@ -685,8 +685,9 @@ def apply_update_append(
         .localCheckpoint(eager=True)
     )
     _mark("delta_scan")  # corpus scan + semi-join, checkpointed delta rows
+    _id_cache: list = []
     delta_full = B.with_derived_columns(
-        B.assign_doc_ids(delta_src)
+        B.assign_doc_ids(delta_src, cleanup=_id_cache)
         .withColumn("doc_id", F.col("doc_id") + F.lit(max_id))
         .select("doc_id", *I._CORPUS_COLS)
     ).drop("_dirname", "_natint")
@@ -864,6 +865,8 @@ def apply_update_append(
             delta_post.select("term", "doc_id", "tf", "dl"), removed_ids,
         )
     delta_post.unpersist()
+    for _p in _id_cache:  # segment writes committed; drop the key cache
+        _p.unpersist()
     B.save_manifest(index_dir, new_manifest.to_json())
     if removed_tfs is not None:
         removed_tfs.unpersist()

@@ -413,8 +413,9 @@ def apply_update(
     else:  # legacy manifest (no HWM field): best-available backfill
         max_id = docs.agg(F.max("doc_id")).collect()[0][0] or 0
     added_src = changes.added.select(*_CORPUS_COLS)
+    id_cache: list = []
     added_with_ids = (
-        B.assign_doc_ids(added_src)
+        B.assign_doc_ids(added_src, cleanup=id_cache)
         .withColumn("doc_id", F.col("doc_id") + F.lit(max_id))
         .select("doc_id", *_CORPUS_COLS)
     )
@@ -646,4 +647,6 @@ def apply_update(
     # lifetime — recovery replays these renames idempotently
     _commit_vector_moves(vector_moves)
     os.remove(jpath)
+    for _p in id_cache:  # all delta writes committed; drop the key cache
+        _p.unpersist()
     return new_manifest

@@ -345,6 +345,46 @@ def main() -> None:
         ),
     }
 
+    # second append + tiered merge → the folded vector segment is ABSORBED
+    # into a cell-partitioned fold dir (r05): the probe must now read the
+    # fold via cell PartitionFilters too, and union NO live segment tail
+    # (everything ≤ the fold id is absorbed)
+    sem_cur2 = [
+        (r[0], r[1], r[2], r[3], r[4] + " semedit2") if i % 7 == 0 else r
+        for i, r in enumerate(sem_cur)
+    ]
+    lsm_client.update_index(
+        "sem", spark.createDataFrame(sem_cur2, C.CORPUS_SCHEMA)
+    )
+    lsm_client.compact_index("sem", tiered=True)
+    fq = V.semantic_search_index(
+        spark, sem_dir, "kubernetes networking", 10, method="ivf"
+    )
+    fq.collect()
+    fbuf = io.StringIO()
+    with redirect_stdout(fbuf):
+        fq.explain("formatted")
+    fplan = fbuf.getvalue()
+    ann_meta_now = V._load_ann_meta(sem_dir)
+    sem_checks.update({
+        "post-merge probe serves the ABSORBED fold (meta lists the fold, "
+        "ANN still fresh)": bool(ann_meta_now.get("absorbed")),
+        "fold scan is cell-partition-pruned (≥2 scans with cell "
+        "PartitionFilters: base + fold)": (
+            sum(
+                1
+                for ln in fplan.splitlines()
+                if "PartitionFilters" in ln and "cell" in ln
+            )
+            >= 2
+        ),
+        "no shuffle join in the fold probe": (
+            "SortMergeJoin" not in fplan
+            and "ShuffledHashJoin" not in fplan
+            and "CartesianProduct" not in fplan
+        ),
+    })
+
     # ---- winners-fetch dynamic partition pruning (VERDICT r04 #5) --------
     # the scorer joins the broadcast top-k on (doc_id, doc_pt): the docs
     # scan must carry a dynamicpruningexpression PartitionFilter so the
