@@ -510,28 +510,16 @@ class BM25SparkClient:
 
                 base = wand_search(idx, query, top_k)
                 if need_content:
-                    # ≤k winners fetch content: broadcast the tiny side so
-                    # the full docs table is never shuffled (VERDICT r04
-                    # #3), and join on doc_pt too so the widest column's
-                    # scan is DPP-pruned to ≤k partitions like every other
-                    # winners fetch
+                    # ≤k winners fetch content via the ONE shared
+                    # broadcast+DPP fetch (VERDICT r04 #3; the widest
+                    # column's scan reads ≤k partitions)
                     from bm25_index_tool_spark.score import (
-                        with_winner_doc_pt,
+                        fetch_winner_docs,
                     )
 
-                    docs = idx.docs()
-                    winners, jk = with_winner_doc_pt(
-                        base, docs, idx.manifest.num_buckets
-                    )
-                    sel = ["doc_id", "content"]
-                    if "doc_pt" in jk:
-                        sel.append("doc_pt")
-                    base = (
-                        F.broadcast(winners)
-                        .join(docs.select(*sel), jk)
-                        .drop("doc_pt")
-                        .orderBy(F.desc("score"), F.asc("doc_id"))
-                    )
+                    base = fetch_winner_docs(
+                        idx, base, ["content"]
+                    ).orderBy(F.desc("score"), F.asc("doc_id"))
                 return base.collect()
             return score_query(
                 idx, query, top_k, include_content=need_content

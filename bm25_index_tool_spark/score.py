@@ -259,6 +259,20 @@ def with_winner_doc_pt(
     )
 
 
+def fetch_winner_docs(
+    index: LoadedIndex, winners: DataFrame, doc_cols: list[str]
+) -> DataFrame:
+    """THE winners→docs fetch, shared by every scorer (code-review r05:
+    four hand-rolled copies had already started diverging): broadcast the
+    ≤k-row winners frame into the docs table, joined on (doc_id, doc_pt)
+    so the scan is DynamicPartitionPruning-pruned to ≤k partitions.
+    Returns winners' columns + ``doc_cols`` from the docs side."""
+    docs = index.docs()
+    w, keys = with_winner_doc_pt(winners, docs, index.manifest.num_buckets)
+    sel = ["doc_id", *doc_cols] + (["doc_pt"] if "doc_pt" in keys else [])
+    return F.broadcast(w).join(docs.select(*sel), keys).drop("doc_pt")
+
+
 def score_stage_frames(
     index: LoadedIndex, query: str, top_k: int = 10
 ) -> dict[str, DataFrame]:
@@ -334,20 +348,15 @@ def _score_plan(
 
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
 
-    doc_cols = ["doc_id", "full_path", "filename", "content_sha256"]
+    doc_cols = ["full_path", "filename", "content_sha256"]
     if include_content:
         doc_cols.append("content")
-    docs = index.docs()
-    topk, join_keys = with_winner_doc_pt(topk, docs, m.num_buckets)
-    if "doc_pt" in join_keys:
-        doc_cols.append("doc_pt")
     result = (
-        docs
-        .select(*doc_cols)
-        .join(F.broadcast(topk), join_keys)
-        .drop("doc_pt")
+        fetch_winner_docs(index, topk, doc_cols)
         .withColumnRenamed("full_path", "path")
         .orderBy(F.desc("score"), F.asc("doc_id"))
+        .select("doc_id", "path", "filename", "content_sha256", "score",
+                *(["content"] if include_content else []))
     )
     return {"scored": scored, "topk": topk, "full": result}
 
@@ -418,15 +427,12 @@ def score_query_batch(
         .where(F.col("rank") <= top_k)
         .select("query_id", "query", "doc_id", "score", "rank")
     )
-    alldocs = index.docs()
-    topk, join_keys = with_winner_doc_pt(topk, alldocs, m.num_buckets)
-    sel = ["doc_id", F.col("full_path").alias("path")]
-    if "doc_pt" in join_keys:
-        sel.insert(1, F.col("doc_pt"))
-    docs = alldocs.select(*sel)
-    # broadcast the ≤ n_queries×k winners (matches the single-query path;
-    # VERDICT r02 #5: without the hint, pre-AQE stats on a window output are
-    # unknown and a planner miss here shuffles the full docs table)
-    return F.broadcast(topk).join(docs, join_keys).select(
-        "query_id", "query", "doc_id", "path", "score", "rank"
-    ).orderBy("query_id", "rank")
+    # fetch_winner_docs broadcasts the ≤ n_queries×k winners (VERDICT r02
+    # #5: pre-AQE stats on a window output are unknown — an unhinted miss
+    # shuffles the full docs table) and DPP-prunes the docs scan
+    return (
+        fetch_winner_docs(index, topk, ["full_path"])
+        .withColumnRenamed("full_path", "path")
+        .select("query_id", "query", "doc_id", "path", "score", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -270,9 +270,12 @@ def q_bm25_batch(spark, sf_dir):
 
 def _sql_batch() -> str:
     vals = ", ".join(
+        # set(terms), matching the Spark twin (_bm25_scored_multi): a
+        # repeated term would otherwise join twice here, double-counting
+        # the partial and inflating _nt past n_terms (code-review r05)
         f"({qid}, '{t}', {len(set(terms))})"
         for qid, terms in BATCH_QUERIES
-        for t in terms
+        for t in sorted(set(terms))
     )
     return f"""
 WITH {_SQL_TOK},
@@ -927,7 +930,9 @@ WITH {_SQL_VECD}
 SELECT CAST(vec_id AS BIGINT) AS vec_id,
        round(round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9), 6) AS cosine
 FROM vecd, q
-ORDER BY cosine DESC, vec_id LIMIT {COSINE_K}"""
+-- ORDER BY the 9-dp value (the Spark side's top-k key): selecting on the
+-- 6-dp display rounding would flip k-boundary membership on 6-dp ties
+ORDER BY round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9) DESC, vec_id LIMIT {COSINE_K}"""
 
 
 # seeded SRP-LSH parameters shared by the Spark query and the SQL oracle
@@ -970,7 +975,7 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        round(round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9), 6) AS cosine
 FROM bucketed, qb
 WHERE {cond}
-ORDER BY cosine DESC, vec_id LIMIT {COSINE_K}"""
+ORDER BY round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 9) DESC, vec_id LIMIT {COSINE_K}"""
 
 
 # IVF-Flat parameters shared by the Spark query and the SQL oracle: the
@@ -1025,7 +1030,7 @@ SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
        round({cos9.format(a='a.v', b='q.qv')}, 6) AS cosine
 FROM assign a, q
 WHERE a.cell IN (SELECT cell FROM probe)
-ORDER BY cosine DESC, vec_id LIMIT {COSINE_K}"""
+ORDER BY {cos9.format(a='a.v', b='q.qv')} DESC, vec_id LIMIT {COSINE_K}"""
 
 
 EMB_DUP_THRESHOLD = 0.95

@@ -70,10 +70,21 @@ def _idf(n_docs: int, df: int) -> float:
     return IDF_EPSILON if raw <= 0.0 else raw
 
 
-def _partial(tf, dl, idf: float, k1: float, b: float, avgdl: float):
+def _partial(tf, dl, w, k1: float, b: float, avgdl: float):
+    """Per-(term, doc) BM25 contribution with EXACTLY score.bm25_partial's
+    float association — ((idf*tf)*(k1+1))/denom, q_mult applied LAST — so
+    plan 1 and plan 2 compute bit-matched partials (code-review r05: a
+    different association order differs by ULPs, and a ULP at the top_k
+    boundary flips doc membership between the engines).  ``w`` is the
+    (idf, q_mult) pair."""
+    idf, mult = w
     tf = tf.astype(np.float64)
     dl = dl.astype(np.float64)
-    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    return (
+        ((idf * tf) * (k1 + 1.0))
+        / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        * mult
+    )
 
 
 def _shard_topk(tbl, weights: dict, k1: float, b: float, avgdl: float, top_k: int):
@@ -243,6 +254,15 @@ def wand_search(index: LoadedIndex, query: str, top_k: int = 10):
 
     tokens = tokenize_fts5_query(query)
     counts = Counter(tokens)
+    empty = spark.createDataFrame(
+        [], "doc_id long, path string, filename string, content_sha256 string, score double"
+    )
+    if top_k <= 0:
+        # engine identity with score_query's limit(0); without the guard
+        # _shard_topk min()s a zero-size array inside the executor.
+        # BEFORE the termstats job — no point paying a distributed
+        # filter+collect whose result is discarded (code-review r05)
+        return empty
     buckets = sorted({term_bucket(t, m.num_buckets) for t in counts})
     stats = (
         index.termstats()
@@ -251,17 +271,10 @@ def wand_search(index: LoadedIndex, query: str, top_k: int = 10):
         .collect()
     )
     dfs = {r["term"]: r["df"] for r in stats}
-    empty = spark.createDataFrame(
-        [], "doc_id long, path string, filename string, content_sha256 string, score double"
-    )
-    if top_k <= 0:
-        # engine identity with score_query's limit(0); without the guard
-        # _shard_topk min()s a zero-size array inside the executor
-        return empty
     if set(counts) - set(dfs):
         return empty  # conjunctive: a term with no postings → no results
 
-    weights = {t: counts[t] * _idf(n_docs, dfs[t]) for t in counts}
+    weights = {t: (_idf(n_docs, dfs[t]), float(counts[t])) for t in counts}
 
     blocks_path = os.path.join(index.index_dir, B.BLOCKS_DIR)
     if not os.path.exists(blocks_path):
@@ -275,19 +288,12 @@ def wand_search(index: LoadedIndex, query: str, top_k: int = 10):
 
     local = local_topk_from_blocks(blocks, weights, k1, b, avgdl, top_k)
     topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
-    from bm25_index_tool_spark.score import with_winner_doc_pt
+    from bm25_index_tool_spark.score import fetch_winner_docs
 
-    alldocs = index.docs()
-    topk, join_keys = with_winner_doc_pt(
-        topk, alldocs, index.manifest.num_buckets
-    )
-    sel = ["doc_id", F.col("full_path").alias("path"), "filename",
-           "content_sha256"]
-    if "doc_pt" in join_keys:
-        sel.insert(1, F.col("doc_pt"))
-    docs = alldocs.select(*sel)
     return (
-        docs.join(F.broadcast(topk), join_keys)
+        fetch_winner_docs(index, topk, ["full_path", "filename",
+                                        "content_sha256"])
+        .withColumnRenamed("full_path", "path")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .select("doc_id", "path", "filename", "content_sha256", "score")
     )

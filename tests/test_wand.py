@@ -146,7 +146,7 @@ def test_local_topk_correct_under_adversarial_input_partitioning(
         .collect()
     )
     dfs = {r["term"]: r["df"] for r in stats}
-    weights = {t: _idf(m.num_docs, dfs[t]) for t in q_terms}
+    weights = {t: (_idf(m.num_docs, dfs[t]), 1.0) for t in q_terms}
 
     blocks = (
         spark.read.parquet(os.path.join(blocked_index.index_dir, B.BLOCKS_DIR))
