@@ -42,7 +42,15 @@ def _with_rank(results: list[DataFrame]) -> DataFrame:
     ]
     all_df = functools.reduce(lambda a, b: a.unionByName(b), tagged)
     w = Window.partitionBy("list_idx").orderBy(F.desc("score"), F.asc("doc_id"))
-    return all_df.withColumn("rank", F.row_number().over(w))
+    # materialize ONCE (lazy localCheckpoint): every merge strategy
+    # consumes the ranked frame twice (score aggregate + first-seen data,
+    # weighted adds per-index min/max) and each branch would otherwise
+    # re-run EVERY index's full scoring pipeline — the same recompute
+    # shape the dedup operators fixed (code-review r05).  The frame is
+    # ≤ fetch_k × n_indices rows.
+    return all_df.withColumn("rank", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
 
 
 _DOC_COLS = ["doc_id", "filename"]

@@ -54,6 +54,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical texts: (content_hash, dup_count, doc_ids)."""
     return (
         df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .where(F.col("content_hash").isNotNull())  # NULL ≠ byte-identical
         .groupBy("content_hash")
         .agg(
             F.count("*").alias("dup_count"),
@@ -101,6 +102,15 @@ def minhash_lsh_pairs(
     mega-buckets) are the job of ``exact_duplicates`` (hash-groupBy, linear),
     and genuine near-dup pairs inside a dropped bucket still surface from
     any other band whose bucket stays under the cap."""
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make rows_per_band 0 → EMPTY band_sig →
+        # every doc in one mega-bucket per band (quadratic join, or silent
+        # zero recall past the cap); a non-divisible combo silently
+        # discards trailing hashes and skews the documented S-curve
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(shingles(df, id_col, text_col, shingle_n), num_hashes)
     band_frames = []
@@ -295,9 +305,15 @@ def embedding_cosine_dup_pairs(
 
     planes = srp_hyperplanes(dim, n_bits, n_tables, seed)
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # NARROW-ID banding (code-review r05): the bucket self-join carries
+    # only (table, bucket, id) — carrying the vectors through the
+    # n_tables-way union and BOTH join sides would shuffle ~2·n_tables
+    # copies of every embedding.  Vectors rejoin only for the (distinct)
+    # surviving candidate pairs, exactly the narrow-id pattern the doc_id
+    # assignment uses for content.
     frames = [
         e.select(
-            "id", "v",
+            "id",
             F.lit(t).alias("table"),
             srp_bucket_col(F.col("v"), planes[t]).alias("bucket"),
         )
@@ -305,17 +321,30 @@ def embedding_cosine_dup_pairs(
     ]
     import functools
 
-    banded = functools.reduce(lambda a, b: a.unionByName(b), frames)
-    pairs = (
+    banded = functools.reduce(
+        lambda a, b: a.unionByName(b), frames
+    ).localCheckpoint(eager=False)  # one pass over the SRP expressions
+    cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["table", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            e.select(F.col("id").alias("id_a"), F.col("v").alias("_va")),
+            "id_a",
+        )
+        .join(
+            e.select(F.col("id").alias("id_b"), F.col("v").alias("_vb")),
+            "id_b",
+        )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 9).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 9).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
-        .distinct()
     )
     return pairs

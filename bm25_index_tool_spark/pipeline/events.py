@@ -160,15 +160,29 @@ SESSION_OUT_SCHEMA = (
 )
 
 
-def _session_func(gap_minutes: int):
+def _session_func(gap_minutes: int, tz: str = "UTC"):
     gap_us = gap_minutes * 60 * 1_000_000
+
+    def _emit_ts(us: int) -> pd.Timestamp:
+        # state holds TRUE epoch micros (ts_us = unix_micros, computed
+        # JVM-side); emit a session-tz-naive timestamp so Spark's
+        # naive→internal conversion lands back on the same epoch value
+        return (
+            pd.Timestamp(us, unit="us", tz="UTC").tz_convert(tz).tz_localize(None)
+        )
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         """Stateful session merge for one user: fold the batch's events
         into (start, end, n, total) runs, emit every CLOSED session,
-        keep the open one in state until the event-time timeout fires."""
+        keep the open one in state until the event-time timeout fires.
+
+        Gap arithmetic runs on epoch micros (the ``ts_us`` column), never
+        on the tz-naive pandas datetimes Arrow hands over — naive local
+        values make DST transitions corrupt differences (code-review r05).
+        Null-ts rows are dropped (no event time, no session); null values
+        contribute 0 like the batch twin's F.sum null-skip."""
         (user_id,) = key
         if state.hasTimedOut:
             if state.exists:
@@ -177,17 +191,19 @@ def _session_func(gap_minutes: int):
                 yield pd.DataFrame(
                     {
                         "user_id": [user_id],
-                        "session_start": [pd.Timestamp(s, unit="us")],
-                        "session_end": [pd.Timestamp(e, unit="us")],
+                        "session_start": [_emit_ts(s)],
+                        "session_end": [_emit_ts(e)],
                         "n_events": [n],
                         "total_value": [round(tot, 6)],
                     }
                 )
             return
 
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        # datetime64[ns] int view is NANOseconds; state works in micros
-        ts_us = rows["ts"].astype("int64").to_numpy() // 1000
+        rows = pd.concat(list(pdfs)).dropna(subset=["ts_us"])
+        if rows.empty and not state.exists:
+            return
+        rows = rows.sort_values(["ts_us", "event_id"])
+        ts_us = rows["ts_us"].to_numpy()
         vals = rows["value"].to_numpy()
         cur = list(state.get) if state.exists else None
         out = []
@@ -198,9 +214,17 @@ def _session_func(gap_minutes: int):
             elif t - cur[1] > gap_us:
                 out.append(cur)
                 cur = [t, t, 0, 0.0]
+            # an out-of-order event inside the watermark may precede the
+            # stored session start — the batch twin's min(ts) must match
+            # (code-review r05; exact twin parity additionally needs
+            # watermark delay ≤ gap, else a far-early event the batch
+            # splits into its own session gets absorbed here)
+            cur[0] = min(cur[0], t)
             cur[1] = max(cur[1], t)
             cur[2] += 1
-            cur[3] += float(v)
+            cur[3] += 0.0 if pd.isna(v) else float(v)
+        if cur is None:
+            return
         state.update((int(cur[0]), int(cur[1]), int(cur[2]), float(cur[3])))
         # close the open session once the watermark passes end + gap
         state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
@@ -208,8 +232,8 @@ def _session_func(gap_minutes: int):
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(out),
-                    "session_start": [pd.Timestamp(s[0], unit="us") for s in out],
-                    "session_end": [pd.Timestamp(s[1], unit="us") for s in out],
+                    "session_start": [_emit_ts(s[0]) for s in out],
+                    "session_end": [_emit_ts(s[1]) for s in out],
                     "n_events": [s[2] for s in out],
                     "total_value": [round(s[3], 6) for s in out],
                 }
@@ -234,12 +258,15 @@ def stream_sessionize(
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger is not None:  # a SOURCE option, not a sink one
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir)
+    stream = reader.parquet(source_dir).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_func(gap_minutes),
+            _session_func(gap_minutes, tz),
             outputStructType=SESSION_OUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",

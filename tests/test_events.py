@@ -140,3 +140,54 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 5
+
+
+def test_stream_sessionize_out_of_order_within_watermark(spark, tmp_path):
+    """code-review r05: an out-of-order event INSIDE the watermark that
+    precedes the stored session start must LOWER session_start (the batch
+    twin's min(ts)); pre-fix the start was never lowered.  Also covers a
+    null value contributing 0 like F.sum's null-skip."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 10, 5, 0)
+
+    def _ev(eid, uid, ts, value=1.0):
+        return (eid, ts, uid, "click", value, "{}")
+
+    # wave 1: 10:05.  wave 2: 10:04:30 (earlier, within the 2-min
+    # watermark) + a null-value event.  sentinel closes everything.
+    w1 = spark.createDataFrame([_ev(1, 7, t0)], EV.EVENT_SCHEMA)
+    w2 = spark.createDataFrame(
+        [
+            _ev(2, 7, t0 - dt.timedelta(seconds=30)),
+            (3, t0 + dt.timedelta(seconds=10), 7, "click", None, "{}"),
+        ],
+        EV.EVENT_SCHEMA,
+    )
+    sentinel = spark.createDataFrame(
+        [_ev(-1, -1, t0 + dt.timedelta(days=30), 0.0)], EV.EVENT_SCHEMA
+    )
+    src = str(tmp_path / "sess_ooo")
+    _write_waves(spark, src, [w1, w2, sentinel])
+    q = (
+        EV.stream_sessionize(
+            spark, src, gap_minutes=30, watermark="2 minutes",
+            max_files_per_trigger=1,
+        )
+        .writeStream.format("memory")
+        .queryName("sessions_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = (
+        spark.table("sessions_ooo").where(F.col("user_id") == 7).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["session_start"] == t0 - dt.timedelta(seconds=30)
+    assert r["session_end"] == t0 + dt.timedelta(seconds=10)
+    assert r["n_events"] == 3
+    assert r["total_value"] == 2.0  # null value contributed 0
