@@ -172,19 +172,18 @@ def write_ann_index(
     filter.  Storage is n_tables × the embedding table — the classic LSH
     space-for-recall trade."""
     planes = srp_hyperplanes(dim, n_bits, n_tables, seed)
-    frames = []
-    for t in range(n_tables):
-        frames.append(
-            emb.select(
-                F.lit(t).alias("table"),
-                srp_bucket_col(F.col(vec_col), planes[t]).alias("bucket"),
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("v"),
-            )
-        )
-    import functools
-
-    all_rows = functools.reduce(lambda a, b: a.unionByName(b), frames)
+    # ONE pass over the source: compute all n_tables bucket values in a
+    # single projection and posexplode — a union of n_tables per-table
+    # selects would re-scan (and re-compute) the full embedding relation
+    # n_tables times per write (code-review r05)
+    buckets = F.array(
+        *[srp_bucket_col(F.col(vec_col), planes[t]) for t in range(n_tables)]
+    )
+    all_rows = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(buckets).alias("table", "bucket"),
+    ).select("table", "bucket", "id", "v")
     (
         all_rows.repartition("table", "bucket")
         .write.mode("overwrite")
@@ -330,7 +329,14 @@ def assign_cells(
                 continue
             V = _vec_matrix(b.column(b.schema.get_field_index(vec_col)), dim)
             vn = np.linalg.norm(V, axis=1)
-            sims = np.round((V @ C.T) / (vn[:, None] * Cn[None, :]), 9)
+            # zero-norm vectors: cosine undefined → deterministic cell 0
+            # (an all-NaN row's argmax is 0 anyway, but relying on NaN
+            # propagation is implicit; dividing by 1 makes sims all 0 and
+            # the first-index-wins argmax explicit — code-review r05)
+            sims = np.round(
+                (V @ C.T) / (np.where(vn == 0.0, 1.0, vn)[:, None] * Cn[None, :]),
+                9,
+            )
             cells = np.argmax(sims, axis=1).astype(np.int32)
             yield b.append_column(
                 pa.field(out_col, pa.int32(), nullable=False),
@@ -347,6 +353,11 @@ def ivf_probe_cells(
     the query (9-dp-rounded cosine desc, cell index asc on ties)."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.linalg.norm(q))
+    if qn == 0.0:
+        # zero-norm query (real models emit zero vectors for empty/OOV
+        # text): cosine is undefined for every cell — probe the first
+        # nprobe cells deterministically instead of ZeroDivisionError
+        return list(range(min(nprobe, len(centroids))))
     sims = []
     for i, c in enumerate(centroids):
         cv = np.asarray(c, dtype=np.float64)

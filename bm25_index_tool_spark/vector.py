@@ -311,6 +311,13 @@ def build_vector_index(
     )
     embed = embedder_udf(embedder, dim)
     out_path = os.path.join(index_dir, VECTOR_DIR)
+    # STAGE the new base, commit via one swap (code-review r05): an
+    # in-place overwrite first DELETES the live dir, so a crash mid-write
+    # (or a reader racing the job) saw a truncated store with no
+    # _meta.json — the same hazard compact_index stages .compact-tmp for.
+    # The meta file is written (tmp+fsync) INTO the staged dir, so the
+    # swap is the single commit point for data + metadata together.
+    tmp_path = out_path + ".build-tmp"
     from pyspark.sql import Observation
 
     obs = Observation("vector_metrics")
@@ -318,7 +325,7 @@ def build_vector_index(
         chunks.withColumn("embedding", embed(F.col("chunk_text")))
         .observe(obs, F.count(F.lit(1)).alias("n_chunks"))
         .write.mode("overwrite")
-        .parquet(out_path)
+        .parquet(tmp_path)
     )
     meta = {
         "embedder": embedder,
@@ -331,8 +338,16 @@ def build_vector_index(
         "chunk_overlap": chunk_overlap,
         "max_chars": max_chars,
     }
-    with open(os.path.join(out_path, "_meta.json"), "w") as f:
+    mp = os.path.join(tmp_path, "_meta.json")
+    with open(mp + ".tmp", "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mp + ".tmp", mp)
+    import shutil as _sh
+
+    _sh.rmtree(out_path, ignore_errors=True)
+    os.replace(tmp_path, out_path)
     # the new base was built from the LIVE view (base ∪ segments ⟖
     # tombstones), so outstanding vector segments are now folded in —
     # leaving them would duplicate every segment chunk on the next scan
@@ -353,6 +368,12 @@ def build_vector_index(
 
 
 def _load_vector_meta(index_dir: str) -> dict:
+    """The store's embedder/chunking contract.  A store dir WITHOUT
+    _meta.json is treated as corrupt (code-review r05): silently falling
+    back to defaults would let the next incremental refresh chunk with the
+    wrong params and embed with the stand-in model — permanently mixing
+    models in one store with no error anywhere.  Missing-field defaults
+    still apply for metas written before a field existed."""
     import json
     import os
 
@@ -364,10 +385,38 @@ def _load_vector_meta(index_dir: str) -> dict:
         "chunk_overlap": DEFAULT_CHUNK_OVERLAP,
         "max_chars": 48_000,
     }
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta.update(json.load(f))
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"vector store at {os.path.dirname(meta_path)} has no "
+            "_meta.json (corrupt or interrupted build) — re-run "
+            "build_vector_index"
+        )
+    with open(meta_path) as f:
+        meta.update(json.load(f))
     return meta
+
+
+def _seg_ordered_alive(rows: DataFrame, ts, seg_col: str) -> DataFrame:
+    """THE aliveness rule of the vector store (one owner — code-review r05
+    found three hand-rolled copies of this safety-critical 12-liner): a row
+    is alive iff its origin segment ≥ the path's latest tombstone segment.
+    Base rows pass a seg sentinel BELOW every real id (segments start at
+    1), so any tombstone kills them; a refresh's own chunks survive their
+    own tombstone; a later refresh/delete kills older copies.  ``ts`` may
+    be None (no tombstones → everything alive)."""
+    if ts is None:
+        return rows
+    latest = ts.groupBy("path").agg(
+        F.max(F.col("seg").cast("int")).alias("_ts_seg")
+    )
+    return (
+        rows.join(F.broadcast(latest), "path", "left")
+        .where(
+            F.col("_ts_seg").isNull()
+            | (F.col(seg_col).cast("int") >= F.col("_ts_seg"))
+        )
+        .drop("_ts_seg")
+    )
 
 
 def vector_view(spark, index_dir: str) -> DataFrame:
@@ -393,17 +442,7 @@ def vector_view(spark, index_dir: str) -> DataFrame:
             seg.select(*cols, F.col("seg").cast("int").alias("_seg"))
         )
     ts = DS._read_all_segments(spark, index_dir, DS.VECTOR_TS_DIR, keep_seg=True)
-    if ts is not None:
-        latest = ts.groupBy("path").agg(
-            F.max(F.col("seg").cast("int")).alias("_ts_seg")
-        )
-        out = (
-            out.join(F.broadcast(latest), "path", "left")
-            .where(
-                F.col("_ts_seg").isNull() | (F.col("_seg") >= F.col("_ts_seg"))
-            )
-            .drop("_ts_seg")
-        )
+    out = _seg_ordered_alive(out, ts, "_seg")
     return out.drop("_seg").select(*cols)
 
 
@@ -738,19 +777,7 @@ def _live_segment_rows(
     ts = DS._read_all_segments(
         spark, index_dir, DS.VECTOR_TS_DIR, keep_seg=True
     )
-    if ts is not None:
-        latest = ts.groupBy("path").agg(
-            F.max(F.col("seg").cast("int")).alias("_ts_seg")
-        )
-        seg = (
-            seg.join(F.broadcast(latest), "path", "left")
-            .where(
-                F.col("_ts_seg").isNull()
-                | (F.col("seg").cast("int") >= F.col("_ts_seg"))
-            )
-            .drop("_ts_seg")
-        )
-    return seg.select(*cols)
+    return _seg_ordered_alive(seg, ts, "seg").select(*cols)
 
 
 def semantic_search_index(
@@ -780,9 +807,15 @@ def semantic_search_index(
             "build_vector_index (or create_index(build_vector_index=True))"
         )
     meta = _load_vector_meta(index_dir)
-    qv = embed_query(
-        meta["embedder"], query, dim if dim is not None else meta["dim"]
-    )
+    if dim is not None and dim != meta["dim"]:
+        # a mismatched query dim makes cosine_expr's zip_with pad with
+        # nulls → ALL scores null → arbitrary top-k with no error
+        # (code-review r05); the store's contract is its _meta.json dim
+        raise ValueError(
+            f"dim={dim} does not match the store's embedding dim "
+            f"{meta['dim']} (vector/_meta.json)"
+        )
+    qv = embed_query(meta["embedder"], query, meta["dim"])
 
     ann = _load_ann_meta(index_dir)
     from bm25_index_tool_spark import delta_store as DS
@@ -826,7 +859,6 @@ def semantic_search_index(
             " method='scan'"
         )
 
-    from bm25_index_tool_spark import delta_store as DS
     from bm25_index_tool_spark.pipeline import simsearch as SS
 
     probe = SS.ivf_probe_cells(
@@ -854,23 +886,10 @@ def semantic_search_index(
     ts = DS._read_all_segments(
         spark, index_dir, DS.VECTOR_TS_DIR, keep_seg=True
     )
-    if ts is not None:
-        # seg-ordered aliveness (the vector_view rule): a candidate row is
-        # live iff its origin seg ≥ the path's latest tombstone seg — so a
-        # tombstone kills base + older absorbed copies but never the newer
-        # absorbed row it refreshed
-        latest = ts.groupBy("path").agg(
-            F.max(F.col("seg").cast("int")).alias("_ts_seg")
-        )
-        cand = (
-            cand.join(F.broadcast(latest), "path", "left")
-            .where(
-                F.col("_ts_seg").isNull()
-                | (F.col("_aseg") >= F.col("_ts_seg"))
-            )
-            .drop("_ts_seg")
-        )
-    cand = cand.drop("_aseg")
+    # seg-ordered aliveness (the vector_view rule, one owner): a tombstone
+    # kills base + older absorbed copies but never the newer absorbed row
+    # it refreshed
+    cand = _seg_ordered_alive(cand, ts, "_aseg").drop("_aseg")
     seg_live = _live_segment_rows(
         spark, index_dir, cols, after_seg=absorbed[-1] if absorbed else -1
     )
