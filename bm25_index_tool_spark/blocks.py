@@ -224,10 +224,19 @@ def build_blocks(
         .select("shard", "term", "doc_id", "tf", "dl")
     )
     result = encoded.mapInArrow(_encode_with_shard, "shard int, " + BLOCKS_SCHEMA)
-    result.write.mode("overwrite").partitionBy("shard").parquet(blocks_path)
+    # block count rides the write as an Observation — no read-back job
+    from pyspark.sql import Observation
+
+    obs = Observation("blocks_metrics")
+    (
+        result.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(blocks_path)
+    )
     _ensure_readable_blocks(spark, blocks_path)
 
-    n_blocks = spark.read.parquet(blocks_path).count()
+    n_blocks = int(obs.get["n"])
     # longest posting list — the engine auto-selection stat (wand.py
     # choose_engine): WAND pays off once lists dwarf the block size.  From
     # the (small) termstats live view, one scalar agg.  Refreshed on every

@@ -183,13 +183,19 @@ def assign_doc_ids(
     1. project the NARROW key columns (repo, path + derived sort helpers) —
        content bytes never enter the range shuffle or the Arrow sockets,
     2. range-partition + sort within partitions (global order across
-       ordered partitions); ``localCheckpoint`` the (tiny) sorted keys —
-       on a real cluster a staging-parquet write serves the same purpose
+       ordered partitions); persist the (tiny) sorted keys — on a real
+       cluster a staging-parquet write serves the same purpose
        fault-tolerantly,
     3. collect per-partition row COUNTS only, prefix-sum to offsets,
-    4. assign ``doc_id = offset[pid] + position`` with a vectorized
-       ``mapInArrow`` (preserves the sorted order; no window function →
-       no second shuffle),
+    4. assign ``doc_id = offset[pid] + position`` as a pure JVM expression:
+       position within the sorted partition comes from the low 33 bits of
+       ``monotonically_increasing_id()`` (documented layout: partition id
+       in the high bits, per-partition record index in the low 33), the
+       offset from a literal array indexed by ``spark_partition_id()``.
+       No window function → no second shuffle, and — unlike the previous
+       ``mapInArrow`` assigner — no JVM↔Python boundary at all (guide §4:
+       the id column was the only thing Python created; the Arrow
+       round-trip and the Python-worker pool spin-up were pure overhead),
     5. hash-join (repo, path, doc_id, derived cols) back to the full corpus
        — a plain JVM shuffle join that scales with cores/executors.
     """
@@ -231,45 +237,36 @@ def _narrow_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
         r["_pid"]: r["cnt"]
         for r in df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
+    # dense offsets array indexed by partition id (empty partitions get the
+    # running offset too — they contribute no rows, the value is unused)
+    n_parts = (max(counts) + 1) if counts else 0
+    offsets, acc = [0] * n_parts, 0
+    for pid in range(n_parts):
         offsets[pid] = acc
-        acc += counts[pid]
+        acc += counts.get(pid, 0)
 
-    from pyspark.sql.types import LongType
-
-    out_schema = df.drop("_pid").schema.add("doc_id", LongType())
-    out_cols = [f.name for f in out_schema.fields]
-    in_cols = list(df.columns)
-    pid_idx = in_cols.index("_pid")
-    keep_names = [c for c in in_cols if c != "_pid"]
-
-    # mapInArrow, not mapInPandas: rows (including full document content)
-    # stay as Arrow buffers — the id column is the only thing created.
-    def _assign(batches):
-        import numpy as np
-        import pyarrow as pa
-
-        pos = 0
-        base = None
-        for batch in batches:
-            if base is None:
-                base = offsets.get(batch.column(pid_idx)[0].as_py(), 0)
-            ids = pa.array(
-                np.arange(base + pos + 1, base + pos + 1 + batch.num_rows),
-                pa.int64(),
-            )
-            arrays = [
-                batch.column(i) for i in range(batch.num_columns) if i != pid_idx
-            ]
-            pos += batch.num_rows
-            yield pa.RecordBatch.from_arrays(
-                arrays + [ids], names=keep_names + ["doc_id"]
-            )
-
+    # Pure-JVM id assignment over the sorted partitions (stays inside
+    # whole-stage codegen; no Python workers, no Arrow transpose):
+    # monotonically_increasing_id() is documented as (partitionId << 33) +
+    # record-index-within-partition, so the low 33 bits are exactly the
+    # 0-based position in the sorted partition — deterministic here because
+    # the input is the persisted range-shuffled sort (same property the
+    # Arrow assigner relied on).  A single partition can't exceed 2^33 rows
+    # (Spark's own shuffle limit is far lower).
+    off_arr = (
+        F.array(*[F.lit(o) for o in offsets]) if offsets else F.array(F.lit(0))
+    )
+    out = df.withColumn(
+        "doc_id",
+        (
+            F.element_at(off_arr, F.col("_pid") + 1)
+            + F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+            + 1
+        ).cast("long"),
+    ).drop("_pid")
     return (
-        df.mapInArrow(_assign, out_schema).select(*out_cols),
-        sum(counts.values()),
+        out,
+        acc,
         df,  # the persisted frame, for the caller's deferred unpersist
     )
 
@@ -599,8 +596,13 @@ def _build(
             return {"rows": 0, "per_bucket_rows": {}}
         t_w0 = time.monotonic()
         (
+            # "bucket" sort prefix: satisfies the dynamic-partition writer's
+            # required ordering (partition cols first), so the writer adds
+            # NO second sort — one sort pass instead of two over the full
+            # postings relation.  Within each bucket= dir the file order is
+            # (term, doc_id), exactly as before.
             post.repartition(num_buckets, "bucket")
-            .sortWithinPartitions("term", "doc_id")
+            .sortWithinPartitions("bucket", "term", "doc_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(postings_path)
@@ -647,7 +649,7 @@ def _build(
         obs = Observation("termstats_metrics")
         (
             stats.repartition(num_buckets, "bucket")
-            .sortWithinPartitions("term")
+            .sortWithinPartitions("bucket", "term")
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("rows"),

@@ -488,13 +488,32 @@ def recover_segments_if_needed(spark: SparkSession, index_dir: str) -> bool:
     return True
 
 
-def _tokenize_rows(spark, rows: DataFrame, profile: str) -> DataFrame:
+def _sized_parallelism(
+    spark, n_rows: int | None, rows_per_task: int = 2048
+) -> int:
+    """Scale-adaptive task count for delta-sized jobs (guide §2): a
+    micro-batch of a few hundred docs must not fan out into
+    defaultParallelism near-empty tasks (each task pays Python-worker
+    handshake + conf deserialization), while a million-doc delta still
+    uses the full core count.  ``None`` (unknown size) keeps full
+    parallelism."""
+    full = spark.sparkContext.defaultParallelism
+    if n_rows is None:
+        return full
+    return max(1, min(full, n_rows // rows_per_task + 1))
+
+
+def _tokenize_rows(
+    spark, rows: DataFrame, profile: str, n_rows: int | None = None
+) -> DataFrame:
     """(doc_id, full_path, filename, content) → (doc_id, term, tf, dl) with
-    the index's tokenizer profile — identical pipeline to the build."""
+    the index's tokenizer profile — identical pipeline to the build.
+    ``n_rows``, when the caller already knows the delta size (diff counts),
+    sizes the tokenize fan-out to the delta instead of the cluster."""
     from bm25_index_tool_spark import build as B
     from bm25_index_tool_spark.arrow_tokenize import ARROW_PROFILES
 
-    parallelism = spark.sparkContext.defaultParallelism
+    parallelism = _sized_parallelism(spark, n_rows)
     repart = rows.repartition(parallelism, "doc_id")
     if profile in ARROW_PROFILES:
         from bm25_index_tool_spark.arrow_tokenize import doc_term_freqs
@@ -685,9 +704,19 @@ def apply_update_append(
         .localCheckpoint(eager=True)
     )
     _mark("delta_scan")  # corpus scan + semi-join, checkpointed delta rows
+    # the diff counts already bound the delta: size every delta-side job to
+    # it (guide §2 — a 100-file micro-batch must not fan out into
+    # defaultParallelism near-empty tasks, a 10^7-doc delta still uses all
+    # cores).  NOT the exact delta row count (a duplicated path adds rows),
+    # but the dup guard below rejects that case anyway.
+    n_delta = counts["added"] + counts["modified"]
     _id_cache: list = []
     delta_full = B.with_derived_columns(
-        B.assign_doc_ids(delta_src, cleanup=_id_cache)
+        B.assign_doc_ids(
+            delta_src,
+            num_partitions=_sized_parallelism(spark, n_delta, 65_536),
+            cleanup=_id_cache,
+        )
         .withColumn("doc_id", F.col("doc_id") + F.lit(max_id))
         .select("doc_id", *I._CORPUS_COLS)
     ).drop("_dirname", "_natint")
@@ -695,9 +724,11 @@ def apply_update_append(
 
     # second dup guard (delta-sized): a path appearing twice in `current`
     # with one copy unchanged slips past the diff-level check — both copies
-    # land in delta_src via the semi-join and would mint two doc_ids
+    # land in delta_src via the semi-join and would mint two doc_ids.
+    # Checked on the CHECKPOINTED narrow delta (not delta_full, whose plan
+    # re-runs the id-assignment join for this one probe).
     dup2 = (
-        delta_full.groupBy("full_path")
+        delta_src.groupBy(F.concat_ws("/", "repo", "path").alias("full_path"))
         .agg(F.count("*").alias("n"))
         .where(F.col("n") > 1)
         .limit(1)
@@ -710,7 +741,9 @@ def apply_update_append(
         )
 
     delta_post = (
-        _tokenize_rows(spark, delta_full, manifest.tokenizer_profile)
+        _tokenize_rows(
+            spark, delta_full, manifest.tokenizer_profile, n_rows=n_delta
+        )
         .withColumn("bucket", F.pmod(F.hash("term"), F.lit(nb)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -730,7 +763,8 @@ def apply_update_append(
             F.broadcast(removed_ids), "doc_id", "left_semi"
         ).select("doc_id", "full_path", "filename", "content")
         removed_tfs = _tokenize_rows(
-            spark, removed_docs, manifest.tokenizer_profile
+            spark, removed_docs, manifest.tokenizer_profile,
+            n_rows=counts["modified"] + counts["deleted"],
         ).persist(StorageLevel.MEMORY_AND_DISK)
         removed_tokens = int(
             removed_tfs.agg(F.coalesce(F.sum("tf"), F.lit(0))).collect()[0][0]
@@ -756,19 +790,26 @@ def apply_update_append(
     seg = (max(segment_ids(index_dir)) + 1) if segment_ids(index_dir) else 1
     moves: list[tuple[str, str]] = []
 
+    # segment writes are delta-sized: fan out to the delta, not to nb tasks
+    # of a few rows each (guide §2/§6 — a micro-batch segment should be a
+    # handful of files; one task happily writes every bucket=/doc_pt= dir
+    # through the dynamic-partition writer).  Large deltas still spread.
+    n_stage_tasks = _sized_parallelism(spark, n_delta, 50_000)
+
     def _stage(df: DataFrame, table_dir: str, part_col: str | None) -> None:
         final = _seg_path(index_dir, table_dir, seg)
         staged = final + ".staging"
         os.makedirs(os.path.join(index_dir, table_dir), exist_ok=True)
         if part_col:
-            # nb output slots (one per possible partition value) — no extra
-            # distinct-count job; empty slots write nothing
+            # sort prefix = the partition column: satisfies the dynamic
+            # writer's required ordering (no second sort inserted) while
+            # keeping postings (term, doc_id)-clustered within each bucket
             df2 = (
-                df.repartition(nb, part_col).sortWithinPartitions(
-                    "term", "doc_id"
+                df.repartition(n_stage_tasks, part_col).sortWithinPartitions(
+                    part_col, "term", "doc_id"
                 )
                 if table_dir == POSTINGS_SEG_DIR
-                else df.repartition(nb, part_col)
+                else df.repartition(n_stage_tasks, part_col)
             )
             w = df2.write.mode("overwrite").partitionBy(part_col)
         else:
@@ -939,37 +980,58 @@ def merge_segments(
     ts = _read_all_segments(spark, index_dir, TOMBSTONES_DIR, upto=upto)
     moves: list[tuple[str, str]] = []
 
+    # task fan-out ∝ folded bytes (guide §2: scale-adaptive partitioning —
+    # derive from input size): folding two micro-batch segments is a
+    # few-file job, folding months of segments still spreads over nb tasks.
+    # The byte count is a driver-side walk of the folded dirs (no Spark job).
+    folded_bytes = 0
+    for table in _SEG_DIRS:
+        for d in _committed_seg_dirs(index_dir, table):
+            if _seg_dir_id(d) <= upto:
+                for dp, _dn, fns in os.walk(d):
+                    for fn in fns:
+                        try:
+                            folded_bytes += os.path.getsize(
+                                os.path.join(dp, fn)
+                            )
+                        except OSError:
+                            pass
+    n_merge_tasks = max(1, min(nb, folded_bytes // (128 << 20) + 1))
+
     def _stage(df, table_dir: str, part_col: str | None, sort_cols=()):
         final = _seg_path(index_dir, table_dir, upto)
         tmp = final + ".staging"
         if part_col:
-            df = df.repartition(nb, part_col)
+            df = df.repartition(n_merge_tasks, part_col)
             if sort_cols:
-                df = df.sortWithinPartitions(*sort_cols)
+                # part_col prefix satisfies the dynamic writer's required
+                # ordering — no second sort inserted
+                df = df.sortWithinPartitions(part_col, *sort_cols)
             w = df.write.mode("overwrite").partitionBy(part_col)
         else:
             w = df.coalesce(4).write.mode("overwrite")
         w.parquet(tmp)
         moves.append((tmp, final))
 
+    stage_jobs: list[tuple] = []
     post = _read_all_segments(spark, index_dir, POSTINGS_SEG_DIR, upto=upto)
     if post is not None:
-        _stage(
+        stage_jobs.append((
             _anti_tombstones(post, ts), POSTINGS_SEG_DIR, "bucket",
             ("term", "doc_id"),
-        )
+        ))
     tseg = _read_all_segments(spark, index_dir, TERMSTATS_SEG_DIR, upto=upto)
     if tseg is not None:
-        _stage(
+        stage_jobs.append((
             tseg.groupBy("term", "bucket")
             .agg(F.sum("df_delta").alias("df_delta"))
             .where(F.col("df_delta") != 0)
             .select("term", "df_delta", "bucket"),
             TERMSTATS_SEG_DIR, "bucket",
-        )
+        ))
     dseg = _read_all_segments(spark, index_dir, DOCS_SEG_DIR, upto=upto)
     if dseg is not None:
-        _stage(_anti_tombstones(dseg, ts), DOCS_SEG_DIR, "doc_pt")
+        stage_jobs.append((_anti_tombstones(dseg, ts), DOCS_SEG_DIR, "doc_pt"))
     if ts is not None:
         keep_ts = ts.select("doc_id")
         # the prune below relies on the never-reused-id invariant, which
@@ -987,7 +1049,7 @@ def merge_segments(
             keep_ts = keep_ts.join(
                 dseg.select("doc_id"), "doc_id", "left_anti"
             )
-        _stage(keep_ts, TOMBSTONES_DIR, None)
+        stage_jobs.append((keep_ts, TOMBSTONES_DIR, None))
 
     # vector store: within the folded group apply the segment-ORDER rule
     # (row alive iff its seg ≥ the path's latest folded tombstone seg);
@@ -1011,9 +1073,20 @@ def merge_segments(
                 )
                 .drop("_ts_seg")
             )
-        _stage(alive.drop("seg"), VECTOR_SEG_DIR, None)
+        stage_jobs.append((alive.drop("seg"), VECTOR_SEG_DIR, None))
     if vts is not None:
-        _stage(vts.select("path").distinct(), VECTOR_TS_DIR, None)
+        stage_jobs.append((vts.select("path").distinct(), VECTOR_TS_DIR, None))
+
+    # every staged write reads only committed on-disk segments — run them as
+    # concurrent Spark jobs (guide §2.6: back-fill the tail) so a fold of
+    # two micro-batch segments pays one write's scheduling latency, not six
+    from concurrent.futures import ThreadPoolExecutor
+
+    if stage_jobs:
+        with ThreadPoolExecutor(max_workers=len(stage_jobs)) as pool:
+            futs = [pool.submit(_stage, *job) for job in stage_jobs]
+            for f in futs:
+                f.result()
 
     # drop = every folded dir with id < upto; the id-upto dirs are replaced
     # by the staged moves (and must NOT be in drop — recovery re-runs it)
@@ -1084,27 +1157,44 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     tmp_post = postings_path + ".compact-tmp"
     tmp_ts = termstats_path + ".compact-tmp"
     tmp_docs = docs_path + ".compact-tmp"
-    (
-        post.repartition(nb, "bucket")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(tmp_post)
-    )
-    (
-        ts.repartition(nb, "bucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(tmp_ts)
-    )
-    (
-        docs.repartition(nb, "doc_pt")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .partitionBy("doc_pt")
-        .parquet(tmp_docs)
-    )
+
+    # the three base rewrites read disjoint inputs (live views over
+    # committed files) — run them as concurrent Spark jobs (guide §2.6:
+    # later jobs back-fill executors freed by the earlier ones' tails)
+    def _w_post():
+        (
+            # part-col sort prefix: no writer-inserted second sort
+            post.repartition(nb, "bucket")
+            .sortWithinPartitions("bucket", "term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp_post)
+        )
+
+    def _w_ts():
+        (
+            ts.repartition(nb, "bucket")
+            .sortWithinPartitions("bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp_ts)
+        )
+
+    def _w_docs():
+        (
+            docs.repartition(nb, "doc_pt")
+            .sortWithinPartitions("doc_pt", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("doc_pt")
+            .parquet(tmp_docs)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(w) for w in (_w_post, _w_ts, _w_docs)]
+        for f in futs:
+            f.result()
     # a fully-emptied table writes zero partition dirs → unreadable; leave
     # a schema'd empty plain parquet instead (same convention as the build)
     for tmp, df, part_col in (

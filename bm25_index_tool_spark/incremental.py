@@ -470,7 +470,7 @@ def apply_update(
         )
         (
             merged.repartition(len(changed), "bucket")
-            .sortWithinPartitions("term", "doc_id")
+            .sortWithinPartitions("bucket", "term", "doc_id")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(tmp_post)
@@ -487,7 +487,7 @@ def apply_update(
             )
             (
                 new_ts.repartition(len(changed), "bucket")
-                .sortWithinPartitions("term")
+                .sortWithinPartitions("bucket", "term")
                 .write.mode("overwrite")
                 .partitionBy("bucket")
                 .parquet(tmp_ts)
@@ -518,7 +518,7 @@ def apply_update(
         )
         (
             full.repartition(nb, "doc_pt")
-            .sortWithinPartitions("doc_id")
+            .sortWithinPartitions("doc_pt", "doc_id")
             .write.mode("overwrite")
             .partitionBy("doc_pt")
             .parquet(tmp_docs)
@@ -543,7 +543,7 @@ def apply_update(
             )
             (
                 merged_docs.repartition(len(changed_pts), "doc_pt")
-                .sortWithinPartitions("doc_id")
+                .sortWithinPartitions("doc_pt", "doc_id")
                 .write.mode("overwrite")
                 .partitionBy("doc_pt")
                 .parquet(tmp_docs)

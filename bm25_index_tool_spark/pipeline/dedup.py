@@ -113,19 +113,22 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(shingles(df, id_col, text_col, shingle_n), num_hashes)
-    band_frames = []
-    for b in range(bands):
-        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_frames.append(
-            sig.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *cols).alias("band_sig"),
+    # ONE projection + posexplode emits all band rows in a single pass —
+    # the previous bands-way unionByName re-ran the per-band final
+    # aggregation (and its projection) once per branch over the shared
+    # exchange (guide §2.4: don't re-scan what one pass can emit)
+    band_sigs = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)],
             )
-        )
-    import functools
-
-    banded = functools.reduce(lambda a, c: a.unionByName(c), band_frames)
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "id", F.posexplode(band_sigs).alias("band", "band_sig")
+    )
     # materialize the banded signatures ONCE (lazy localCheckpoint): the
     # self-join's two branches plus the cap aggregate would otherwise each
     # recompute the full shingle→md5×k→groupBy pipeline — measured 11.8 s
@@ -311,18 +314,14 @@ def embedding_cosine_dup_pairs(
     # copies of every embedding.  Vectors rejoin only for the (distinct)
     # surviving candidate pairs, exactly the narrow-id pattern the doc_id
     # assignment uses for content.
-    frames = [
-        e.select(
-            "id",
-            F.lit(t).alias("table"),
-            srp_bucket_col(F.col("v"), planes[t]).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
-    import functools
-
-    banded = functools.reduce(
-        lambda a, b: a.unionByName(b), frames
+    # ONE projection + posexplode computes every table's bucket in a single
+    # pass over the embeddings (the n_tables-way unionByName re-scanned the
+    # source once per table; same fix as write_ann_index — code-review r05)
+    buckets = F.array(
+        *[srp_bucket_col(F.col("v"), planes[t]) for t in range(n_tables)]
+    )
+    banded = e.select(
+        "id", F.posexplode(buckets).alias("table", "bucket")
     ).localCheckpoint(eager=False)  # one pass over the SRP expressions
     cand = (
         banded.alias("a")

@@ -235,21 +235,85 @@ def ivf_kmeans_centroids(
     *,
     vec_col: str = "embedding",
     seed: int = 42,
-    max_iter: int = 8,
+    max_iter: int = 20,
+    sample_cap: int = 65_536,
 ) -> list[list[float]]:
-    """Trained coarse quantizer (production path): pyspark.ml KMeans with a
-    fixed seed over the embedding column.  ``max_iter`` defaults low — a
-    COARSE quantizer only needs cells of roughly balanced occupancy, and
-    recall is controlled by nprobe, not centroid polish; each extra
-    iteration is a full pass over the vectors."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Trained coarse quantizer (production path): seeded k-means++ +
+    Lloyd's over a bounded uniform SAMPLE of the vectors, fit on the
+    driver in numpy.
 
-    vecs = emb.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(
-        k=m, seed=seed, maxIter=max_iter, featuresCol="features"
-    ).fit(vecs)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    A coarse quantizer only needs cells of roughly balanced occupancy —
+    recall is controlled by nprobe, not centroid polish — so it is trained
+    on a sample, never the full relation (the classic IVF recipe: FAISS
+    trains its coarse quantizer on ≤ a few hundred vectors per centroid).
+    The previous pyspark.ml ``KMeans`` fit ran ~2 init passes + max_iter
+    full passes over ALL vectors as separate distributed jobs — at 10^12
+    rows that is the dominant ANN-build cost for zero recall benefit over
+    a 64k-vector sample, and at bench scale it was ~10 Spark jobs of pure
+    overhead (guide §1.2: fix the distributed algorithm first).  One
+    narrow scan draws the sample; Lloyd's on ≤65k × dim doubles is
+    milliseconds of driver numpy.  Deterministic for a fixed seed."""
+    n = emb.count()
+    if n == 0:
+        return []
+    # ~256 training points per centroid is the standard IVF budget; more
+    # polishes centroids the probe's recall never notices
+    cap = min(sample_cap, max(256 * m, 8_192))
+    proj = emb.select(F.col(vec_col).alias("_v"))
+    if n > cap:
+        frac = min(1.0, (1.25 * cap) / n)
+        sampled = proj.sample(fraction=frac, seed=seed).limit(cap)
+        rows = sampled.collect()
+        if len(rows) < m:  # pathological sampling variance
+            rows = proj.limit(max(m, cap)).collect()
+    else:
+        rows = proj.collect()
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    m_eff = min(m, X.shape[0])
+    rng = np.random.RandomState(seed)
+
+    # k-means++ seeding (deterministic)
+    idx = [int(rng.randint(X.shape[0]))]
+    d2 = np.sum((X - X[idx[0]]) ** 2, axis=1)
+    for _ in range(1, m_eff):
+        tot = float(d2.sum())
+        if tot <= 0.0:
+            # all remaining points coincide with a centroid: fill from rng
+            idx.append(int(rng.randint(X.shape[0])))
+            continue
+        r = rng.random_sample() * tot
+        j = int(np.searchsorted(np.cumsum(d2), r))
+        j = min(j, X.shape[0] - 1)
+        idx.append(j)
+        d2 = np.minimum(d2, np.sum((X - X[j]) ** 2, axis=1))
+    C = X[idx].copy()
+
+    for _ in range(max_iter):
+        # squared-Euclidean assignment via the expanded form (no N×m×dim
+        # temporary): ||x||² − 2x·c + ||c||²; ||x||² is constant per row
+        assign = np.argmin(
+            -2.0 * (X @ C.T) + np.sum(C * C, axis=1)[None, :], axis=1
+        )
+        newC = C.copy()
+        moved = False
+        for k in range(m_eff):
+            mask = assign == k
+            if mask.any():
+                nc = X[mask].mean(axis=0)
+                if not np.array_equal(nc, newC[k]):
+                    newC[k] = nc
+                    moved = True
+            else:
+                # empty cell: re-seed on the point farthest from its centroid
+                far = int(
+                    np.argmax(np.sum((X - C[assign]) ** 2, axis=1))
+                )
+                newC[k] = X[far]
+                moved = True
+        C = newC
+        if not moved:
+            break
+    return [[float(x) for x in c] for c in C]
 
 
 def ivf_cell_col(vec: F.Column, centroids: list[list[float]]) -> F.Column:

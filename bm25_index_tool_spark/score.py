@@ -308,7 +308,6 @@ def _score_plan(
     top_k: int,
     include_content: bool,
 ) -> dict[str, DataFrame]:
-    spark = index.spark
     m = index.manifest
     k1, b = m.params.k1, m.params.b
 
@@ -318,19 +317,32 @@ def _score_plan(
     n_distinct = len(tok_counts)
     buckets = sorted({term_bucket(t, m.num_buckets) for t in tok_counts})
 
-    # Tiny query-terms DF; q_mult carries duplicate-token multiplicity
-    # (FTS5 'apple apple' sums the term's partial score twice).
-    terms_df = spark.createDataFrame(
-        [(t, int(c)) for t, c in tok_counts.items()], "term string, q_mult int"
-    )
-
     # Explicit bucket-pruning predicate (Catalyst can't infer it, SURVEY §4.3)
     post = index.postings().where(F.col("bucket").isin(buckets))
     stats = index.termstats().where(F.col("bucket").isin(buckets))
 
+    # The query terms are DRIVER literals: an isin pushdown-able filter +
+    # a literal map for q_mult (duplicate-token multiplicity — FTS5 'apple
+    # apple' sums the term's partial twice) replaces the former 2-3-row
+    # DataFrame broadcast join — one less broadcast exchange (and its
+    # build job) per query, and the term predicate now reaches the parquet
+    # scan as a pushed filter instead of a join.
+    terms = sorted(tok_counts)
+    q_mult_map = F.create_map(
+        *[F.lit(x) for t in terms for x in (t, int(tok_counts[t]))]
+    )
     per_term = (
-        post.join(F.broadcast(terms_df), "term")
-        .join(F.broadcast(stats.select("term", "df")), "term")
+        post.where(F.col("term").isin(terms))
+        .join(
+            # term filter on the stats side too: the broadcast hash holds
+            # ≤|terms| rows instead of every term in the touched buckets,
+            # and the predicate pushes to the termstats scan
+            F.broadcast(
+                stats.where(F.col("term").isin(terms)).select("term", "df")
+            ),
+            "term",
+        )
+        .withColumn("q_mult", q_mult_map[F.col("term")])
         .withColumn("idf", idf_column(F.col("df"), m.num_docs))
         .withColumn(
             "partial",

@@ -73,7 +73,15 @@ def _bm25_scored(docs: DataFrame, terms: list[str]) -> DataFrame:
     SQL oracle below."""
     n, avgdl = _corpus_scalars(docs)
     tok = _tok(docs)
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    # dl = per-doc token count = size of the token array — computed on the
+    # narrow docs scan instead of exploding every token and shuffle-
+    # aggregating them back (identical values: the tok CTE has exactly
+    # size(tokens) rows per doc, and the inner join below only ever sees
+    # docs with ≥1 matching term, so the explode-dropped zero-token docs
+    # never mattered).  Removes one full-corpus explode + Exchange.
+    dl = docs.select(
+        "doc_id", F.size(DD.tokens_col("text")).cast("double").alias("dl")
+    )
     tf = (
         tok.where(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
@@ -116,7 +124,10 @@ def _bm25_scored_multi(
     single-list path (same formula, same dtypes, same 6-dp rounding)."""
     n, avgdl = _corpus_scalars(docs)
     tok = _tok(docs)
-    dl = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    # dl from the narrow docs scan — same reasoning as _bm25_scored
+    dl = docs.select(
+        "doc_id", F.size(DD.tokens_col("text")).cast("double").alias("dl")
+    )
     qrows = [
         (i, t, len(set(terms)))
         for i, terms in enumerate(term_lists)
