@@ -663,13 +663,20 @@ def apply_update_append(
         diff = full_diff_frame(cur, stored)
     else:
         raise ValueError(f"unknown update mode {mode!r} (full|upsert)")
-    diff = diff.localCheckpoint(eager=True)
+    # per-status counts ride the checkpoint materialization as an
+    # Observation — no separate count job over the (tiny) diff
+    from pyspark.sql import Observation
 
-    counts = {
-        r["status"]: r["n"]
-        for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
-    }
-    counts = {k: counts.get(k, 0) for k in ("added", "modified", "deleted")}
+    obs = Observation("diff_counts")
+    diff = diff.observe(
+        obs,
+        *[
+            F.count(F.when(F.col("status") == s, 1)).alias(s)
+            for s in ("added", "modified", "deleted")
+        ],
+    ).localCheckpoint(eager=True)
+    got = obs.get
+    counts = {k: int(got[k]) for k in ("added", "modified", "deleted")}
     if all(v == 0 for v in counts.values()):
         return manifest
 

@@ -245,21 +245,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     """
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
-    terms = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term"))
-        .groupBy("id", "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.md5("term"))
-    )
+    # ONE shuffle: the tf-weighted bit sum over distinct terms equals the
+    # ±1 sum over raw token OCCURRENCES (Σ_term tf·sign ≡ Σ_occurrence
+    # sign), so the former groupBy(id, term) tf pre-aggregation — a full
+    # extra Exchange — is unnecessary.  The per-occurrence md5 recompute is
+    # map-side CPU that partial aggregation amortizes (guide §2.3:
+    # aggregate before you shuffle; only id + 64 partial sums cross).
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("term")
+    ).withColumn("h", F.md5("term"))
     # Parse the needed md5 hex digits into integer chunks ONCE per row (8
     # hex digits per conv — fits a long), then each fingerprint bit is a
-    # shift+mask instead of a substring+IN-set string compare: the 64-bit
-    # agg drops from 64×(substring + 8 string equals) to 4×conv + 64
-    # integer ops per posting row (same values; the DuckDB oracle keeps the
-    # readable substring/IN formulation — outputs are bit-identical).
+    # shift+mask instead of a substring+IN-set string compare (same values;
+    # the DuckDB oracle keeps the readable substring/IN formulation —
+    # outputs are bit-identical).
     n_chunks = ((bits - 1) // 2) // 8 + 1
     for k in range(n_chunks):
-        terms = terms.withColumn(
+        toks = toks.withColumn(
             f"c_{k}", F.conv(F.substring("h", 1 + 8 * k, 8), 16, 10).cast("long")
         )
     bit_aggs = []
@@ -269,12 +271,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         # hex digit o (big-endian within the chunk); bit 3 for even b, 2 for odd
         shift = 4 * (7 - o) + (3 if b % 2 == 0 else 2)
         bit = F.shiftright(F.col(f"c_{k}"), shift).bitwiseAND(F.lit(1))
-        bit_aggs.append(
-            F.sum(
-                F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))
-            ).alias(f"s_{b}")
-        )
-    bit_sums = terms.groupBy("id").agg(*bit_aggs)
+        # ±1 per occurrence: branch-free 2·bit − 1
+        bit_aggs.append(F.sum(bit * 2 - 1).alias(f"s_{b}"))
+    bit_sums = toks.groupBy("id").agg(*bit_aggs)
     fp = F.lit(0).cast("long")
     for b in range(bits):
         weight = -(2**63) if b == 63 else 2**b  # two's complement high bit

@@ -272,43 +272,51 @@ def ivf_kmeans_centroids(
     m_eff = min(m, X.shape[0])
     rng = np.random.RandomState(seed)
 
-    # k-means++ seeding (deterministic)
-    idx = [int(rng.randint(X.shape[0]))]
-    d2 = np.sum((X - X[idx[0]]) ** 2, axis=1)
+    # SPHERICAL k-means: the probe assigns rows to cells by COSINE
+    # (assign_cells / ivf_probe_cells), so training must partition the same
+    # space — Euclidean-trained centroids over un-normalized vectors give
+    # cosine-skewed cells (a few cells own most rows → a probe of nprobe
+    # cells reads nearly everything).  Work on unit vectors; a zero-norm
+    # row stays zero (it lands in cell 0 at assignment either way).
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(norms == 0.0, 1.0, norms)
+
+    # k-means++ seeding on the unit sphere (deterministic; squared
+    # Euclidean on unit vectors is a monotone function of cosine)
+    idx = [int(rng.randint(Xn.shape[0]))]
+    d2 = np.sum((Xn - Xn[idx[0]]) ** 2, axis=1)
     for _ in range(1, m_eff):
         tot = float(d2.sum())
         if tot <= 0.0:
             # all remaining points coincide with a centroid: fill from rng
-            idx.append(int(rng.randint(X.shape[0])))
+            idx.append(int(rng.randint(Xn.shape[0])))
             continue
         r = rng.random_sample() * tot
         j = int(np.searchsorted(np.cumsum(d2), r))
-        j = min(j, X.shape[0] - 1)
+        j = min(j, Xn.shape[0] - 1)
         idx.append(j)
-        d2 = np.minimum(d2, np.sum((X - X[j]) ** 2, axis=1))
-    C = X[idx].copy()
+        d2 = np.minimum(d2, np.sum((Xn - Xn[j]) ** 2, axis=1))
+    C = Xn[idx].copy()
 
     for _ in range(max_iter):
-        # squared-Euclidean assignment via the expanded form (no N×m×dim
-        # temporary): ||x||² − 2x·c + ||c||²; ||x||² is constant per row
-        assign = np.argmin(
-            -2.0 * (X @ C.T) + np.sum(C * C, axis=1)[None, :], axis=1
-        )
+        # cosine assignment = argmax of dot with unit-normalized centroids
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        Cn = C / np.where(cn == 0.0, 1.0, cn)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
         newC = C.copy()
         moved = False
         for k in range(m_eff):
             mask = assign == k
             if mask.any():
-                nc = X[mask].mean(axis=0)
+                nc = Xn[mask].mean(axis=0)
                 if not np.array_equal(nc, newC[k]):
                     newC[k] = nc
                     moved = True
             else:
-                # empty cell: re-seed on the point farthest from its centroid
-                far = int(
-                    np.argmax(np.sum((X - C[assign]) ** 2, axis=1))
-                )
-                newC[k] = X[far]
+                # empty cell: re-seed on the point least aligned with its
+                # assigned centroid (the spherical farthest point)
+                far = int(np.argmin(np.sum(Xn * Cn[assign], axis=1)))
+                newC[k] = Xn[far]
                 moved = True
         C = newC
         if not moved:

@@ -413,8 +413,19 @@ def score_query_batch(
         rows, "query_id int, query string, term string, q_mult int, n_terms int"
     )
 
-    post = index.postings().where(F.col("bucket").isin(sorted(buckets)))
-    stats = index.termstats().where(F.col("bucket").isin(sorted(buckets)))
+    all_terms = sorted({r[2] for r in rows})
+    post = (
+        index.postings()
+        .where(F.col("bucket").isin(sorted(buckets)))
+        # term pre-filter: pushes to the postings scan and keeps the
+        # qterms join's probe side to matching rows only
+        .where(F.col("term").isin(all_terms))
+    )
+    stats = (
+        index.termstats()
+        .where(F.col("bucket").isin(sorted(buckets)))
+        .where(F.col("term").isin(all_terms))
+    )
 
     per_term = (
         post.join(F.broadcast(qterms), "term")

@@ -29,7 +29,6 @@ replace it with a model-serving pandas UDF of the same signature.
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 import pandas as pd
@@ -138,16 +137,16 @@ def _pseudo_vector(text: str, dim: int, algo: str) -> list[float]:
     DETERMINISTIC STAND-IN for a real embedding model (the reference calls
     AWS Bedrock here, ``vector/embeddings.py:24-26`` — unavailable
     offline)."""
-    out = np.empty(dim, dtype=np.float64)
-    for j in range(0, dim, 4):
-        h = hashlib.new(algo, f"{j}|{text}".encode()).digest()
-        vals = struct.unpack(">4i", h[:16])
-        for k, v in enumerate(vals):
-            if j + k < dim:
-                out[j + k] = v / 2**31
+    # one 16-byte digest per 4 dims, decoded in bulk (identical values to
+    # the former per-element struct.unpack loop: big-endian int32 / 2^31)
+    raw = b"".join(
+        hashlib.new(algo, f"{j}|{text}".encode()).digest()[:16]
+        for j in range(0, dim, 4)
+    )
+    out = np.frombuffer(raw, dtype=">i4").astype(np.float64)[:dim] / 2**31
     nrm = float(np.linalg.norm(out))
     if nrm > 0:
-        out /= nrm
+        out = out / nrm
     return [float(x) for x in out]
 
 
