@@ -202,8 +202,9 @@ def write_ann_index(
 #   * "stride"  — deterministic data-sampled centroids (every ⌊N/m⌋-th id):
 #     reproducible across engines, so the driver's DuckDB oracle can replay
 #     assignment + probe EXACTLY (cell argmax over 9-dp-rounded cosines).
-#   * "kmeans"  — pyspark.ml KMeans(seed=…) for production-quality cells
-#     (balanced Voronoi partitions); tested in pytest (recall gate), not
+#   * "kmeans"  — seeded spherical k-means (k-means++ + Lloyd in driver
+#     numpy over a bounded uniform sample; cosine geometry to match the
+#     probe's assignment); tested in pytest (recall gate), not
 #     oracle-checkable since DuckDB has no kmeans.
 # At 10^12 rows: assignment is O(N·m) JVM-side dots with the m×dim centroid
 # table broadcast as literals (m ≤ a few hundred), the index is written
@@ -237,6 +238,7 @@ def ivf_kmeans_centroids(
     seed: int = 42,
     max_iter: int = 20,
     sample_cap: int = 65_536,
+    n: int | None = None,
 ) -> list[list[float]]:
     """Trained coarse quantizer (production path): seeded k-means++ +
     Lloyd's over a bounded uniform SAMPLE of the vectors, fit on the
@@ -252,8 +254,11 @@ def ivf_kmeans_centroids(
     a 64k-vector sample, and at bench scale it was ~10 Spark jobs of pure
     overhead (guide §1.2: fix the distributed algorithm first).  One
     narrow scan draws the sample; Lloyd's on ≤65k × dim doubles is
-    milliseconds of driver numpy.  Deterministic for a fixed seed."""
-    n = emb.count()
+    milliseconds of driver numpy.  Deterministic for a fixed seed.
+    ``n``: pass the relation's row count when the caller already knows it
+    (build_vector_ann does) to skip the count job here."""
+    if n is None:
+        n = emb.count()
     if n == 0:
         return []
     # ~256 training points per centroid is the standard IVF budget; more
@@ -269,17 +274,27 @@ def ivf_kmeans_centroids(
     else:
         rows = proj.collect()
     X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
-    m_eff = min(m, X.shape[0])
-    rng = np.random.RandomState(seed)
-
     # SPHERICAL k-means: the probe assigns rows to cells by COSINE
     # (assign_cells / ivf_probe_cells), so training must partition the same
     # space — Euclidean-trained centroids over un-normalized vectors give
     # cosine-skewed cells (a few cells own most rows → a probe of nprobe
-    # cells reads nearly everything).  Work on unit vectors; a zero-norm
-    # row stays zero (it lands in cell 0 at assignment either way).
-    norms = np.linalg.norm(X, axis=1, keepdims=True)
-    Xn = X / np.where(norms == 0.0, 1.0, norms)
+    # cells reads nearly everything).  Zero-norm rows (real models emit
+    # zero vectors for empty/OOV text) carry no direction: they are
+    # EXCLUDED from training — a zero centroid would make every cosine
+    # against it NaN and poison the whole assignment.  At probe time a
+    # zero row deterministically lands in cell 0 regardless.
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0.0]
+    if X.shape[0] == 0:
+        # degenerate store (all-zero vectors): a single unit-x centroid —
+        # every row assigns to cell 0, probes scan it, results stay exact
+        c0 = [0.0] * (len(rows[0]["_v"]) if rows else 1)
+        if c0:
+            c0[0] = 1.0
+        return [c0]
+    m_eff = min(m, X.shape[0])
+    rng = np.random.RandomState(seed)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
 
     # k-means++ seeding on the unit sphere (deterministic; squared
     # Euclidean on unit vectors is a monotone function of cosine)
@@ -305,6 +320,12 @@ def ivf_kmeans_centroids(
         assign = np.argmax(Xn @ Cn.T, axis=1)
         newC = C.copy()
         moved = False
+        # empty-cell reseeds draw DISTINCT least-aligned points (one
+        # shared argmin would hand every empty cell the same point —
+        # permanent duplicate centroids that burn probe slots and keep
+        # the loop from ever converging)
+        align_order = np.argsort(np.sum(Xn * Cn[assign], axis=1))
+        reseed_i = 0
         for k in range(m_eff):
             mask = assign == k
             if mask.any():
@@ -312,11 +333,9 @@ def ivf_kmeans_centroids(
                 if not np.array_equal(nc, newC[k]):
                     newC[k] = nc
                     moved = True
-            else:
-                # empty cell: re-seed on the point least aligned with its
-                # assigned centroid (the spherical farthest point)
-                far = int(np.argmin(np.sum(Xn * Cn[assign], axis=1)))
-                newC[k] = Xn[far]
+            elif reseed_i < align_order.size:
+                newC[k] = Xn[align_order[reseed_i]]
+                reseed_i += 1
                 moved = True
         C = newC
         if not moved:
@@ -386,7 +405,11 @@ def assign_cells(
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    # zero-norm centroid guard (same convention as the row guard below):
+    # dividing by 1 makes its sims an exact 0.0 instead of NaN — a NaN
+    # column would win every np.argmax and collapse the index into one cell
     Cn = np.linalg.norm(C, axis=1)
+    Cn = np.where(Cn == 0.0, 1.0, Cn)
     dim = C.shape[1]
     out_schema = StructType(
         list(df.schema.fields) + [StructField(out_col, IntegerType(), False)]
@@ -433,7 +456,9 @@ def ivf_probe_cells(
     sims = []
     for i, c in enumerate(centroids):
         cv = np.asarray(c, dtype=np.float64)
-        s = round(float(np.dot(q, cv)) / (qn * float(np.linalg.norm(cv))), 9)
+        cn = float(np.linalg.norm(cv))
+        # zero-norm centroid: similarity pinned to 0.0 (not NaN/ZeroDivision)
+        s = round(float(np.dot(q, cv)) / (qn * cn), 9) if cn > 0.0 else 0.0
         sims.append((-s, i))
     return [i for _, i in sorted(sims)[:nprobe]]
 

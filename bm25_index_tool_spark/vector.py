@@ -589,7 +589,7 @@ def build_vector_ann(
     m_eff = max(1, min(m, n))
     if quantizer == "kmeans":
         cents = SS.ivf_kmeans_centroids(
-            base, m_eff, vec_col="embedding", seed=seed
+            base, m_eff, vec_col="embedding", seed=seed, n=n
         )
     elif quantizer == "stride":
         from pyspark.sql.window import Window

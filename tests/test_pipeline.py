@@ -517,3 +517,54 @@ def test_real_decode_golden_contract(spark):
     # non-PNG payloads stay stub-gated in the fallback
     with pytest.raises(NotImplementedError, match="PNG"):
         _png_decode_stdlib(b"\xff\xd8\xff JPEG-ish garbage")
+
+
+def test_ivf_kmeans_sampled_trainer_robustness(spark):
+    """The driver-side sampled spherical k-means (r06 optimization) must
+    stay safe on degenerate inputs: zero-norm embeddings are excluded from
+    training (a zero centroid would NaN every cosine in assign_cells and
+    collapse the index into one cell), empty-cell reseeds draw distinct
+    points, and the trainer is deterministic for a fixed seed."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = [[float(x) for x in rng.standard_normal(8)] for _ in range(100)]
+    vecs += [[0.0] * 8] * 5  # real models emit zero vectors for empty text
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    cents = SS.ivf_kmeans_centroids(emb, 8, seed=1)
+    C = np.asarray(cents)
+    assert C.shape == (8, 8)
+    assert np.all(np.linalg.norm(C, axis=1) > 0), "zero centroid leaked"
+    # deterministic for a fixed seed
+    assert cents == SS.ivf_kmeans_centroids(emb, 8, seed=1)
+    # n hint must not change the result (build_vector_ann passes its count)
+    assert cents == SS.ivf_kmeans_centroids(emb, 8, seed=1, n=len(vecs))
+
+    # low-diversity corpus (3 distinct directions, m=8): terminates and
+    # returns m centroids without NaN
+    vecs3 = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]] * 10
+    emb3 = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs3)],
+        "vec_id long, embedding array<float>",
+    )
+    c3 = np.asarray(SS.ivf_kmeans_centroids(emb3, 8, seed=1))
+    assert not np.isnan(c3).any()
+
+    # all-zero corpus degrades to a single unit centroid (cell 0 for all)
+    embz = spark.createDataFrame(
+        [(i, [0.0] * 4) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    assert SS.ivf_kmeans_centroids(embz, 4, seed=1) == [[1.0, 0.0, 0.0, 0.0]]
+
+    # assign_cells / ivf_probe_cells shrug off a zero centroid (defense in
+    # depth for hand-supplied centroid lists): sims pin to 0.0, never NaN
+    assigned = (
+        SS.assign_cells(emb, [[0.0] * 8, [1.0] + [0.0] * 7], vec_col="embedding")
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    assert {r["cell"] for r in assigned} == {0, 1}  # no one-cell collapse
+    assert SS.ivf_probe_cells([1.0, 0, 0, 0], [[0.0] * 4, [1.0, 0, 0, 0]], 1) == [1]
