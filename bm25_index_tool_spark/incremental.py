@@ -415,7 +415,13 @@ def apply_update(
     added_src = changes.added.select(*_CORPUS_COLS)
     id_cache: list = []
     added_with_ids = (
-        B.assign_doc_ids(added_src, cleanup=id_cache)
+        B.assign_doc_ids(
+            added_src,
+            num_partitions=DS._sized_parallelism(
+                spark, counts["added"], 65_536
+            ),
+            cleanup=id_cache,
+        )
         .withColumn("doc_id", F.col("doc_id") + F.lit(max_id))
         .select("doc_id", *_CORPUS_COLS)
     )
@@ -433,7 +439,10 @@ def apply_update(
     # (arrow C++ fast path for arrow-capable profiles, explode/window
     # fallback otherwise); one shared implementation keeps the two
     # strategies' rebuild-equivalence invariant from silently diverging
-    tfs = DS._tokenize_rows(spark, delta_full, manifest.tokenizer_profile)
+    tfs = DS._tokenize_rows(
+        spark, delta_full, manifest.tokenizer_profile,
+        n_rows=counts["added"] + counts["modified"],
+    )
 
     delta_post = tfs.withColumn(
         "bucket", F.pmod(F.hash("term"), F.lit(nb))
