@@ -301,7 +301,7 @@ def embedding_cosine_dup_pairs(
     are bounded by that, never N²/16 like the old 4-fixed-dims variant."""
     from bm25_index_tool_spark.pipeline.simsearch import (
         cosine_expr,
-        srp_bucket_col,
+        srp_bucket_sql_col,
         srp_hyperplanes,
     )
 
@@ -317,7 +317,7 @@ def embedding_cosine_dup_pairs(
     # pass over the embeddings (the n_tables-way unionByName re-scanned the
     # source once per table; same fix as write_ann_index — code-review r05)
     buckets = F.array(
-        *[srp_bucket_col(F.col("v"), planes[t]) for t in range(n_tables)]
+        *[srp_bucket_sql_col("`v`", planes[t]) for t in range(n_tables)]
     )
     banded = e.select(
         "id", F.posexplode(buckets).alias("table", "bucket")

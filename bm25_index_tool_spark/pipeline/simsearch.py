@@ -46,6 +46,60 @@ def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# -- SQL-text twins of the Column builders above ----------------------------
+# Composing the cosine/SRP expressions out of pyspark lambda Columns costs
+# ~4·dim py4j round-trips PER construction (measured 137 ms for one
+# 64-dim cosine; every semantic query, probe and SRP banding pass pays it
+# on the driver).  When one side is a LITERAL vector and the other a plain
+# column, the identical expression tree parses from SQL text in ONE
+# round-trip (1.6 ms).  Results are bit-identical — same operators, same
+# order; literals round-trip exactly via repr→CAST(string AS DOUBLE) —
+# verified raw-equal on 5k random rows and by the oracle parity suite.
+# The Column forms above remain for column↔column sites (dedup pairs).
+
+
+def _sql_dbl(x) -> str:
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def vector_sql(vals) -> str:
+    """SQL text of a double-array literal."""
+    return "array(" + ",".join(_sql_dbl(x) for x in vals) + ")"
+
+
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a_sql: str) -> str:
+    return (
+        f"sqrt(aggregate({a_sql}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def cosine_sql(vec_sql: str, query_vec) -> F.Column:
+    """``cosine_expr(col, literal-query-vector)`` built via one F.expr."""
+    q = vector_sql(query_vec)
+    return F.expr(
+        f"{_dot_sql(vec_sql, q)} / ({_norm_sql(vec_sql)} * {_norm_sql(q)})"
+    )
+
+
+def srp_bucket_sql_col(vec_sql: str, table_planes: list[list[float]]) -> F.Column:
+    """``srp_bucket_col`` built via one F.expr (identical bucket values)."""
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec_sql, vector_sql(p))} > 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(table_planes)
+    )
+    return F.expr(f"0 + {terms}")
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -55,11 +109,10 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: (id, cosine) ordered desc, id asc tie-break."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         emb.select(
             F.col(id_col).alias("id"),
-            F.round(cosine_expr(F.col(vec_col), q), 9).alias("cosine"),
+            F.round(cosine_sql(f"`{vec_col}`", query_vec), 9).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
@@ -140,16 +193,14 @@ def lsh_bucketed_topk(
     dim = len(query_vec)
     planes = srp_hyperplanes(dim, n_bits, n_tables, seed)
     qb = srp_query_buckets(query_vec, planes)
-    v = F.col(vec_col)
     cond = F.lit(False)
     for t in range(n_tables):
-        cond = cond | (srp_bucket_col(v, planes[t]) == qb[t])
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+        cond = cond | (srp_bucket_sql_col(f"`{vec_col}`", planes[t]) == qb[t])
     return (
         emb.where(cond)
         .select(
             F.col(id_col).alias("id"),
-            F.round(cosine_expr(v, q), 9).alias("cosine"),
+            F.round(cosine_sql(f"`{vec_col}`", query_vec), 9).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
@@ -177,7 +228,7 @@ def write_ann_index(
     # selects would re-scan (and re-compute) the full embedding relation
     # n_tables times per write (code-review r05)
     buckets = F.array(
-        *[srp_bucket_col(F.col(vec_col), planes[t]) for t in range(n_tables)]
+        *[srp_bucket_sql_col(f"`{vec_col}`", planes[t]) for t in range(n_tables)]
     )
     all_rows = emb.select(
         F.col(id_col).alias("id"),
@@ -558,7 +609,6 @@ def ivf_topk(
     ``write_ivf_index`` so the probe becomes a partition filter."""
     cents = centroids or ivf_stride_centroids(emb, m, id_col=id_col, vec_col=vec_col)
     probe = ivf_probe_cells(query_vec, cents, nprobe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     # narrow (id, vec) projection through the Arrow assigner — on-the-fly
     # assignment touches every vector either way; the matmul path keeps the
     # plan flat in m×dim where the expression twin would not compile at
@@ -570,7 +620,7 @@ def ivf_topk(
         assigned.where(F.col("cell").isin(probe))
         .select(
             F.col(id_col).alias("id"),
-            F.round(cosine_expr(F.col(vec_col), q), 9).alias("cosine"),
+            F.round(cosine_sql(f"`{vec_col}`", query_vec), 9).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
@@ -617,11 +667,10 @@ def ivf_index_search(
     """Probe the materialized IVF index: nprobe partition filters, exact
     cosine on candidates, top-k."""
     probe = ivf_probe_cells(query_vec, centroids, nprobe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         spark.read.parquet(path)
         .where(F.col("cell").isin(probe))
-        .select("id", F.round(cosine_expr(F.col("v"), q), 9).alias("cosine"))
+        .select("id", F.round(cosine_sql("`v`", query_vec), 9).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
@@ -645,10 +694,9 @@ def ann_search(
     cond = F.lit(False)
     for t in range(n_tables):
         cond = cond | ((F.col("table") == t) & (F.col("bucket") == qb[t]))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         idx.where(cond)
-        .select("id", F.round(cosine_expr(F.col("v"), q), 9).alias("cosine"))
+        .select("id", F.round(cosine_sql("`v`", query_vec), 9).alias("cosine"))
         .groupBy("id")
         .agg(F.max("cosine").alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))

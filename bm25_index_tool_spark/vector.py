@@ -240,13 +240,12 @@ def semantic_search_chunks(
     ``1 − cosine_distance``)."""
     from pyspark.sql.window import Window
 
-    from bm25_index_tool_spark.pipeline.simsearch import cosine_expr
+    from bm25_index_tool_spark.pipeline.simsearch import cosine_sql
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     fetch_k = top_k * 3
     scored = (
         chunk_vecs.withColumn(
-            "score", F.round(cosine_expr(F.col(vec_col), q), 9)
+            "score", F.round(cosine_sql(f"`{vec_col}`", query_vec), 9)
         )
         .orderBy(F.desc("score"), F.asc(doc_col), F.asc("chunk_index"))
         .limit(fetch_k)
@@ -769,6 +768,36 @@ def _load_ann_meta(index_dir: str) -> dict | None:
         return json.load(f)
 
 
+# Memoized base-ANN frame per (app, ann build): resolving the
+# cell-partitioned ANN dir costs a file listing + footer read over m
+# partition dirs (~0.2 s at m=64, growing with m) and was paid by EVERY
+# probe; the dir's content changes only when build_vector_ann rewrites it,
+# and every writer (build + fold absorption) rewrites _ann_meta.json last,
+# so its stat is the invalidation token — the same discipline as
+# ``_FP_CACHE`` above.  Over-invalidating on fold absorption is harmless.
+_ANN_FRAME_CACHE: dict[str, tuple] = {}
+
+
+def _ann_frame(spark, index_dir: str):
+    import os
+
+    p = os.path.join(index_dir, VECTOR_ANN_DIR)
+    try:
+        st = os.stat(os.path.join(p, "_ann_meta.json"))
+        tok = (
+            spark.sparkContext.applicationId, st.st_mtime_ns, st.st_size
+        )
+    except OSError:
+        tok = None
+    hit = _ANN_FRAME_CACHE.get(index_dir)
+    if hit is not None and tok is not None and hit[0] == tok:
+        return hit[1]
+    df = spark.read.parquet(p)
+    if tok is not None:
+        _ANN_FRAME_CACHE[index_dir] = (tok, df)
+    return df
+
+
 def _live_segment_rows(
     spark, index_dir: str, cols: list[str], *, after_seg: int = -1
 ):
@@ -878,7 +907,7 @@ def semantic_search_index(
         qv, ann["centroids"], nprobe if nprobe is not None else ann["nprobe_default"]
     )
     cand = (
-        spark.read.parquet(os.path.join(index_dir, VECTOR_ANN_DIR))
+        _ann_frame(spark, index_dir)
         .where(F.col("cell").isin(probe))
         .drop("cell")
         # base rows sort below every tombstone (seg ids start at 1)

@@ -239,11 +239,8 @@ def local_topk_from_blocks(
 def wand_search(index: LoadedIndex, query: str, top_k: int = 10):
     """Top-k BM25 via the block engine; result (doc_id, path, filename,
     content_sha256, score) identical to score.score_query."""
-    import os
-
     from pyspark.sql import functions as F
 
-    from bm25_index_tool_spark import build as B
     from bm25_index_tool_spark.murmur import term_bucket
 
     spark = index.spark
@@ -276,15 +273,10 @@ def wand_search(index: LoadedIndex, query: str, top_k: int = 10):
 
     weights = {t: (_idf(n_docs, dfs[t]), float(counts[t])) for t in counts}
 
-    blocks_path = os.path.join(index.index_dir, B.BLOCKS_DIR)
-    if not os.path.exists(blocks_path):
-        raise ValueError(
-            f"Block engine store not built for index at {index.index_dir}; "
-            "run blocks.build_blocks (or create_index(build_block_engine=True))"
-        )
-    blocks = spark.read.parquet(blocks_path).where(
-        F.col("term").isin(list(counts))
-    )
+    # memoized on the handle — repeated queries skip the per-query parquet
+    # listing/footer resolution (LoadedIndex.blocks raises the same
+    # missing-store ValueError this site used to)
+    blocks = index.blocks().where(F.col("term").isin(list(counts)))
 
     local = local_topk_from_blocks(blocks, weights, k1, b, avgdl, top_k)
     topk = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k)
