@@ -129,15 +129,19 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "id", F.posexplode(band_sigs).alias("band", "band_sig")
     )
-    # materialize the banded signatures ONCE (lazy localCheckpoint): the
-    # self-join's two branches plus the cap aggregate would otherwise each
-    # recompute the full shingle→md5×k→groupBy pipeline — measured 11.8 s
-    # cold / 3.4 s warm vs 3.0 / 2.5 s checkpointed at sf0.1 (the
-    # VERDICT r04 #1-perf "unattributed regression" was exactly this
-    # recompute losing its page-cache warmth to the phases bench r04 added
-    # before the surface rows).  The frame is narrow (id, band, band_sig —
-    # bands rows/doc); executor-local blocks, cleaned by the context GC.
-    banded = banded.localCheckpoint(eager=False)
+    # ONE explicit shuffle on the join key shared by every consumer: the
+    # cap aggregate, the anti-join probe and BOTH self-join branches hang
+    # off the identical repartition subplan, so ReusedExchange computes the
+    # shingle→md5×k→groupBy pipeline once and every consumer reads the one
+    # shuffle output (plan-asserted; without it the cold self-join re-ran
+    # the pipeline — 7.4 s vs 3.3 s at sf0.1).  This replaces the r5 lazy
+    # localCheckpoint, which was result-equal and total-time-equal locally
+    # but (a) compiled the subtree EAGERLY at plan-construction time
+    # (~2.4 s of driver latency before any job), (b) pinned the banded
+    # rows as executor storage blocks, and (c) is not fault-tolerant — a
+    # lost executor loses checkpoint blocks unrecoverably, where shuffle
+    # output is re-computable (the guide's §2 preference).
+    banded = banded.repartition("band", "band_sig")
     if band_bucket_cap is not None:
         big = (
             banded.groupBy("band", "band_sig")
@@ -188,11 +192,12 @@ def ngram_jaccard_pairs(
     errs only on pairs glued together by boilerplate.  ``None`` disables.
     """
     sh = shingles(df, id_col, text_col, shingle_n)
-    # one materialization (lazy localCheckpoint) feeds all four consumers —
+    # one explicit shuffle on the self-join key feeds all four consumers —
     # hot-shingle aggregate, per-doc sizes, and BOTH self-join branches —
-    # instead of re-running tokenize→explode→distinct per consumer (same
-    # recompute shape the minhash fix above measures)
-    sh = sh.localCheckpoint(eager=False)
+    # via ReusedExchange instead of re-running tokenize→explode→distinct
+    # per consumer (same shape + rationale as the minhash fix above; the
+    # sizes branch re-keys by id from the same shuffle output)
+    sh = sh.repartition("shingle")
     if hot_shingle_cap is not None:
         hot = (
             sh.groupBy("shingle")
@@ -258,29 +263,42 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     # hex digits per conv — fits a long), then each fingerprint bit is a
     # shift+mask instead of a substring+IN-set string compare (same values;
     # the DuckDB oracle keeps the readable substring/IN formulation —
-    # outputs are bit-identical).
+    # outputs are bit-identical).  The ~130 per-bit expressions are built
+    # as SQL text (selectExpr / F.expr) instead of composed Columns: the
+    # Column route cost ~5k py4j round-trips (~1 s of driver time) PER
+    # construction; the parsed trees are identical and the whole operator
+    # is integer arithmetic, so results cannot differ.
     n_chunks = ((bits - 1) // 2) // 8 + 1
-    for k in range(n_chunks):
-        toks = toks.withColumn(
-            f"c_{k}", F.conv(F.substring("h", 1 + 8 * k, 8), 16, 10).cast("long")
-        )
+    toks = toks.selectExpr(
+        "id",
+        *[
+            f"CAST(conv(substring(h, {1 + 8 * k}, 8), 16, 10) AS BIGINT) AS c_{k}"
+            for k in range(n_chunks)
+        ],
+    )
     bit_aggs = []
     for b in range(bits):
         pos, _digits = simhash_bit_digit(b)
         k, o = (pos - 1) // 8, (pos - 1) % 8
         # hex digit o (big-endian within the chunk); bit 3 for even b, 2 for odd
         shift = 4 * (7 - o) + (3 if b % 2 == 0 else 2)
-        bit = F.shiftright(F.col(f"c_{k}"), shift).bitwiseAND(F.lit(1))
         # ±1 per occurrence: branch-free 2·bit − 1
-        bit_aggs.append(F.sum(bit * 2 - 1).alias(f"s_{b}"))
+        bit_aggs.append(
+            F.expr(f"sum((shiftright(c_{k}, {shift}) & 1) * 2 - 1)").alias(
+                f"s_{b}"
+            )
+        )
     bit_sums = toks.groupBy("id").agg(*bit_aggs)
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        weight = -(2**63) if b == 63 else 2**b  # two's complement high bit
-        fp = fp + F.when(
-            F.col(f"s_{b}") > 0, F.lit(weight).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return bit_sums.select("id", fp.alias("simhash"))
+    fp_terms = " + ".join(
+        # two's complement high bit; string-cast keeps LONG_MIN parseable
+        f"(CASE WHEN s_{b} > 0 THEN "
+        f"CAST('{-(2 ** 63) if b == 63 else 2 ** b}' AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return bit_sums.select(
+        "id", F.expr(f"CAST(0 AS BIGINT) + {fp_terms}").alias("simhash")
+    )
 
 
 def embedding_cosine_dup_pairs(
@@ -321,7 +339,9 @@ def embedding_cosine_dup_pairs(
     )
     banded = e.select(
         "id", F.posexplode(buckets).alias("table", "bucket")
-    ).localCheckpoint(eager=False)  # one pass over the SRP expressions
+    ).repartition("table", "bucket")  # one pass over the SRP expressions,
+    # shared by both self-join branches via ReusedExchange (same rationale
+    # as minhash_lsh_pairs above)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["table", "bucket"])
