@@ -455,6 +455,7 @@ def ivf_recommend_nprobe(
     qidx = rng.choice(n, min(n_queries, n), replace=False)
     order_idx = np.arange(m)
     rank_hits = np.zeros(m, dtype=np.float64)
+    n_counted = 0
     for qi in qidx:
         q = X[qi]
         s = np.round(Cu @ q, 9)
@@ -462,10 +463,24 @@ def ivf_recommend_nprobe(
         cell_rank = np.empty(m, dtype=np.int64)
         cell_rank[order] = order_idx
         sims = np.round(X @ q, 9)
-        top = np.lexsort((np.arange(n), -sims))[:k]
+        # EXCLUDE exact matches (self + byte-duplicate vectors, cosine
+        # 1.0 at the probe's 9-dp rounding): an identical vector lands in
+        # the query's own cell, which is probed FIRST by construction —
+        # a guaranteed hit that says nothing about coverage.  On corpora
+        # with replicated content (the bench replicates every doc 8×)
+        # counting them inflated the estimate to ≥0.9 while the measured
+        # query recall was 0.77; the at-risk neighbors are the ones that
+        # can fall in un-probed cells.
+        cand = np.flatnonzero(sims < 1.0)
+        if cand.size == 0:
+            continue
+        top = cand[np.lexsort((cand, -sims[cand]))[:k]]
         for r in cell_rank[cells[top]]:
             rank_hits[r] += 1.0
-    recall_at = np.cumsum(rank_hits) / (k * len(qidx))
+        n_counted += top.size
+    if n_counted == 0:  # all sampled pairs identical — one cell covers
+        return lo, 1.0
+    recall_at = np.cumsum(rank_hits) / n_counted
     for p in range(lo, hi + 1):
         if recall_at[p - 1] >= target_recall:
             return p, round(float(recall_at[p - 1]), 3)

@@ -605,8 +605,33 @@ def test_ivf_recommend_nprobe_adaptive():
         uniform, cents_u, target_recall=0.9, k=10, seed=42, lo=16, hi=32,
     )
 
+    # replicated corpora: exact-duplicate vectors are guaranteed hits in
+    # the query's own first-probed cell and must NOT dilute the estimate.
+    # Construction: 40 copies of A (= e1, cell 0) plus 12 near-B rows
+    # (≈ −e1, cell 3 — the LAST cell in A's probe order).  An A-query's
+    # only at-risk neighbors are the B rows in probe rank 3, so the
+    # duplicate-excluding estimate cannot clear 0.9 before nprobe = 4;
+    # counting the 39 cosine-1.0 copies would have said nprobe = 1.
+    e = np.eye(16)
+    cents4 = [
+        e[0].tolist(),
+        (0.6 * e[0] + 0.8 * e[1]).tolist(),
+        (0.6 * e[0] + 0.8 * e[2]).tolist(),
+        (-e[0]).tolist(),
+    ]
+    b_rows = unit(-e[0] + 0.05 * rng.standard_normal((12, 16)))
+    dup_sample = np.vstack([np.repeat(e[0][None, :], 40, axis=0), b_rows])
+    p_d, r_d = SS.ivf_recommend_nprobe(
+        dup_sample, cents4, target_recall=0.9, k=10, seed=42, lo=1, hi=4,
+    )
+    assert p_d == 4 and r_d >= 0.9
+
     # degenerate inputs: single cell / tiny sample fall back to (lo, 1.0)
     assert SS.ivf_recommend_nprobe(uniform, [[1.0] * 16], k=10, lo=1) == (1, 1.0)
     assert SS.ivf_recommend_nprobe(
         uniform[:5], unit(centers).tolist(), k=10, lo=8, hi=16
     ) == (8, 1.0)
+    # all-duplicates sample: every neighbor is an exact match — lo, 1.0
+    assert SS.ivf_recommend_nprobe(
+        np.repeat(uniform[:1], 64, axis=0), cents_u, k=10, lo=16, hi=32
+    ) == (16, 1.0)
