@@ -417,6 +417,31 @@ def _seg_ordered_alive(rows: DataFrame, ts, seg_col: str) -> DataFrame:
     )
 
 
+# Memoized composed view per (app, committed index version, vector-base
+# rebuild): the exact-scan path re-resolved the vector base's parquet
+# listing + segment dirs on EVERY query (~0.1 s of driver latency).  The
+# token is the same pair the ANN freshness fingerprint uses — the index
+# state token moves on any segment/tombstone commit, the _meta.json stat
+# on any base rebuild — so a memo hit can only serve the identical view.
+_VIEW_CACHE: dict[str, tuple] = {}
+
+
+def _vector_view_token(spark, index_dir: str):
+    import os
+
+    from bm25_index_tool_spark.delta_store import _index_state_token
+
+    try:
+        mst = os.stat(os.path.join(index_dir, VECTOR_DIR, "_meta.json"))
+        meta_stat = (mst.st_mtime_ns, mst.st_size)
+    except OSError:
+        meta_stat = None
+    state = _index_state_token(index_dir, spark)
+    if state is None or meta_stat is None:
+        return None
+    return (spark.sparkContext.applicationId, state, meta_stat)
+
+
 def vector_view(spark, index_dir: str) -> DataFrame:
     """Live chunk-vector table — the vector-store twin of delta_store's
     views, but path-keyed with SEGMENT ORDERING: a refresh of path P in
@@ -428,6 +453,11 @@ def vector_view(spark, index_dir: str) -> DataFrame:
     import os
 
     from bm25_index_tool_spark import delta_store as DS
+
+    tok = _vector_view_token(spark, index_dir)
+    hit = _VIEW_CACHE.get(index_dir)
+    if hit is not None and tok is not None and hit[0] == tok:
+        return hit[1]
 
     base = spark.read.parquet(os.path.join(index_dir, VECTOR_DIR))
     cols = base.columns
@@ -441,7 +471,10 @@ def vector_view(spark, index_dir: str) -> DataFrame:
         )
     ts = DS._read_all_segments(spark, index_dir, DS.VECTOR_TS_DIR, keep_seg=True)
     out = _seg_ordered_alive(out, ts, "_seg")
-    return out.drop("_seg").select(*cols)
+    out = out.drop("_seg").select(*cols)
+    if tok is not None:
+        _VIEW_CACHE[index_dir] = (tok, out)
+    return out
 
 
 def stage_vector_refresh(
