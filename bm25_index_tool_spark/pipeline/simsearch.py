@@ -454,8 +454,7 @@ def ivf_recommend_nprobe(
     n = X.shape[0]
     qidx = rng.choice(n, min(n_queries, n), replace=False)
     order_idx = np.arange(m)
-    rank_hits = np.zeros(m, dtype=np.float64)
-    n_counted = 0
+    per_query = []
     for qi in qidx:
         q = X[qi]
         s = np.round(Cu @ q, 9)
@@ -475,16 +474,28 @@ def ivf_recommend_nprobe(
         if cand.size == 0:
             continue
         top = cand[np.lexsort((cand, -sims[cand]))[:k]]
+        hits = np.zeros(m, dtype=np.float64)
         for r in cell_rank[cells[top]]:
-            rank_hits[r] += 1.0
-        n_counted += top.size
-    if n_counted == 0:  # all sampled pairs identical — one cell covers
+            hits[r] += 1.0
+        per_query.append(np.cumsum(hits) / top.size)
+    if not per_query:  # all sampled pairs identical — one cell covers
         return lo, 1.0
-    recall_at = np.cumsum(rank_hits) / n_counted
+    pq = np.asarray(per_query)
+    # Choose by the WORST sampled query, report the mean.  A mean
+    # criterion hides single-query failures, and on duplicated corpora a
+    # top-k holds only a handful of UNIQUE docs — one unique doc's cell
+    # past the probe depth drops that query's recall to ~0.7 while the
+    # mean stays ≥0.9 (the exact 0.767-despite-estimate bench mode).
+    # Worst-query ≥ target pushes adversarial near-uniform data to the
+    # hi = m/2 cap (measured 1.0 there in every observed run) and leaves
+    # clustered data at the cheap lo probe (per-query recall is 1.0 at
+    # lo for every sampled query on the clustered fixture).
+    min_curve = pq.min(axis=0)
+    mean_curve = pq.mean(axis=0)
     for p in range(lo, hi + 1):
-        if recall_at[p - 1] >= target_recall:
-            return p, round(float(recall_at[p - 1]), 3)
-    return hi, round(float(recall_at[hi - 1]), 3)
+        if min_curve[p - 1] >= target_recall:
+            return p, round(float(mean_curve[p - 1]), 3)
+    return hi, round(float(mean_curve[hi - 1]), 3)
 
 
 def ivf_cell_col(vec: F.Column, centroids: list[list[float]]) -> F.Column:
