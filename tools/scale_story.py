@@ -54,6 +54,20 @@ def main() -> None:
         ))
     except FileNotFoundError:
         pass
+    try:  # round-6 second optimization session (final tree) close
+        c6b = _load("r06_close_b.json")
+        a = min(c6b["runs"], key=lambda r: r["steal_pct"])
+        q = a["queries"]
+        rows.append((
+            "40k (sf0.1)", 40000,
+            f"{q['index_build']:.1f} s ({a['files_per_sec']:,.0f}/s)",
+            fmt(q.get("query_p50")), fmt(q.get("incremental_update_1pct")),
+            fmt(q.get("compaction_after_1pct")),
+            fmt(q.get("upsert_microbatch_100")),
+            f"{a['steal_pct']}%", "r06_close_b.json (final tree, cleanest of 3 gated)",
+        ))
+    except FileNotFoundError:
+        pass
 
     # 640k — recorded in the committed appendix prose (phase-split run)
     rows.append((
