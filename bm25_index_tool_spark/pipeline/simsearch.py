@@ -59,7 +59,13 @@ def cosine_expr(a: F.Column, b: F.Column) -> F.Column:
 
 
 def _sql_dbl(x) -> str:
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        # repr gives 'nan'/'inf', which Spark's string→double cast NULLs;
+        # these spellings parse to the same non-finite doubles F.lit made
+        s = "NaN" if v != v else ("Infinity" if v > 0 else "-Infinity")
+        return f"CAST('{s}' AS DOUBLE)"
+    return f"CAST('{v!r}' AS DOUBLE)"
 
 
 def vector_sql(vals) -> str:
