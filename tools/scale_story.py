@@ -64,7 +64,8 @@ def main() -> None:
             fmt(q.get("query_p50")), fmt(q.get("incremental_update_1pct")),
             fmt(q.get("compaction_after_1pct")),
             fmt(q.get("upsert_microbatch_100")),
-            f"{a['steal_pct']}%", "r06_close_b.json (final tree, cleanest of 3 gated)",
+            f"{a['steal_pct']}%",
+            f"r06_close_b.json (final tree, cleanest of {len(c6b['runs'])} gated)",
         ))
     except FileNotFoundError:
         pass
@@ -147,13 +148,34 @@ def main() -> None:
         "Rows name the engine round they were measured on (source column);",
         "query/update paths evolve between rounds — e.g. r05 added the",
         "DPP winners fetch — so compare within a source generation, or",
-        "against the freshest row at that scale.",
+        "against the freshest row at that scale.  The `Δq p50` column flags",
+        "generation-over-generation movement at the same corpus size",
+        "automatically (VERDICT r05 #8): query-p50 change vs the previous",
+        "row at that scale, ⚠ when it regressed.",
         "",
-        "| corpus | files | build (throughput) | query p50 s | 1% update s | compaction s | upsert µbatch s | steal | source |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| corpus | files | build (throughput) | query p50 s | Δq p50 vs prev | 1% update s | compaction s | upsert µbatch s | steal | source |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
+    prev_q: dict = {}
     for r in rows:
-        lines.append("| " + " | ".join(str(x) for x in r) + " |")
+        corpus, n_files, build, qp50, upd, comp, ups, steal, src = r
+        delta = "—"
+        try:
+            cur = float(qp50)
+        except (TypeError, ValueError):
+            cur = None
+        if cur is not None and corpus in prev_q:
+            pct = 100.0 * (cur - prev_q[corpus]) / prev_q[corpus]
+            delta = f"{'⚠ ' if pct > 5 else ''}{pct:+.0f}%"
+        if cur is not None:
+            prev_q[corpus] = cur
+        lines.append(
+            "| " + " | ".join(
+                str(x)
+                for x in (corpus, n_files, build, qp50, delta, upd, comp,
+                          ups, steal, src)
+            ) + " |"
+        )
     pairs = s["pairs"]["local1_vs_local4 (primary)"]["index_build"]
     lines += [
         "",
